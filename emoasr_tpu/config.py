@@ -51,6 +51,7 @@ class ExpConfig:
     enc_num_layers: int = 12
     enc_intermediate_size: int = 2048
     enc_num_projs: Optional[int] = None  # RNN encoder projection size
+    enc_hidden_sum_fwd_bwd: bool = True  # RNN encoder: sum fwd+bwd outputs
     pos_encode_type: str = "abs"  # abs | rel (rel => conformer)
     conv_kernel_size: int = 31  # conformer depthwise conv
 
@@ -110,10 +111,14 @@ class ExpConfig:
     weight_decay: float = 0.0
     accum_grad: int = 1
     lsm_prob: float = 0.0  # label smoothing
+    loss_normalize_length: bool = False
+    loss_normalize_batch: bool = True
+    dropout_emb_rate: float = 0.0
     seed: int = 0
 
     # ---- knowledge distillation ----
     kd_weight: float = 0.0
+    kd_type: str = "word"  # word | align (RNN-T)
     kd_ctc_soft_label_weight: float = 1.0
     kd_ctc_position: str = "all"  # all | left | middle | right
     reduce_main_loss_kd: bool = False

@@ -1,0 +1,373 @@
+"""Core Transformer / Conformer building blocks (flax.linen).
+
+Behavioral parity targets (math, norm placement, eps values):
+- `/root/reference/asr/modeling/transformer.py` — sinusoidal PE with sqrt(d)
+  input scaling, pre-norm MHSA/FF layers with LayerNorm eps=1e-12.
+- `/root/reference/asr/modeling/conformer.py` — Transformer-XL relative
+  position MHSA with pos_bias_u/v + rel_shift, conv module
+  (pointwise -> GLU -> depthwise k=31 -> BN -> swish -> pointwise), macaron
+  FF scaled by 0.5, LayerNorm eps=1e-5 (torch default) inside conformer
+  blocks.
+- `/root/reference/asr/modeling/encoders/conv.py` — two VALID Conv2d k=3 s=2
+  + ReLU giving 4x time reduction with xlens' = ((l-1)//2 - 1)//2.
+
+TPU-first notes: everything is static-shape and mask-driven (no packed
+sequences); attention is einsum-based so XLA tiles it onto the MXU; softmax
+runs in float32 regardless of the compute dtype.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+NEG_INF = -1e9  # mask fill for attention scores (float32-safe)
+
+
+def sinusoidal_pe(length: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(length, dim) sinusoidal table: sin on even, cos on odd channels."""
+    pos = jnp.arange(length, dtype=jnp.float32)[:, None]
+    div = jnp.exp(
+        jnp.arange(0, dim, 2, dtype=jnp.float32) * -(math.log(10000.0) / dim)
+    )
+    pe = jnp.zeros((length, dim), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
+    return pe.astype(dtype)
+
+
+def make_pad_mask(lens: jnp.ndarray, maxlen: int) -> jnp.ndarray:
+    """(B, maxlen) True at valid positions (model_utils.py:6-29)."""
+    return jnp.arange(maxlen)[None, :] < lens[:, None]
+
+
+def make_causal_mask(length: int) -> jnp.ndarray:
+    return jnp.tril(jnp.ones((length, length), bool))
+
+
+class PositionalEncoder(nn.Module):
+    """x * sqrt(d) + PE, then dropout (transformer.py:15-46)."""
+
+    hidden_size: int
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, xs, deterministic: bool = True):
+        T = xs.shape[1]
+        pe = sinusoidal_pe(T, self.hidden_size, xs.dtype)
+        xs = xs * math.sqrt(self.hidden_size) + pe[None]
+        return nn.Dropout(self.dropout_rate)(xs, deterministic=deterministic)
+
+
+class RelPositionalEncoder(nn.Module):
+    """Scale input and emit the 2T-1 relative position table
+    (conformer.py:16-55): positions T-1 ... -(T-1)."""
+
+    hidden_size: int
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, xs, deterministic: bool = True):
+        T = xs.shape[1]
+        # positive part: positions T-1..0 (sin(pos)), negative: -1..-(T-1)
+        pos = jnp.concatenate(
+            [jnp.arange(T - 1, 0, -1), jnp.arange(0, -T, -1)]
+        ).astype(jnp.float32)[:, None]
+        div = jnp.exp(
+            jnp.arange(0, self.hidden_size, 2, dtype=jnp.float32)
+            * -(math.log(10000.0) / self.hidden_size)
+        )
+        pe = jnp.zeros((2 * T - 1, self.hidden_size), jnp.float32)
+        pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+        pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
+        pe = pe.astype(xs.dtype)[None]  # (1, 2T-1, D)
+
+        xs = xs * math.sqrt(self.hidden_size)
+        drop = nn.Dropout(self.dropout_rate)
+        return (
+            drop(xs, deterministic=deterministic),
+            drop(pe, deterministic=deterministic),
+        )
+
+
+class MultiHeadAttention(nn.Module):
+    """Scaled dot-product MHA with boolean masking (transformer.py:48-99).
+
+    mask: bool, broadcastable to (B, 1, Tq, Tk); True = attend.
+    """
+
+    num_heads: int
+    hidden_size: int
+    dropout_rate: float = 0.0
+
+    def setup(self):
+        self.d_k = self.hidden_size // self.num_heads
+        self.linear_q = nn.Dense(self.hidden_size)
+        self.linear_k = nn.Dense(self.hidden_size)
+        self.linear_v = nn.Dense(self.hidden_size)
+        self.linear_out = nn.Dense(self.hidden_size)
+        self.attn_drop = nn.Dropout(self.dropout_rate)
+
+    def _qkv(self, q_in, k_in, v_in):
+        B = q_in.shape[0]
+        shape = lambda x: x.reshape(B, -1, self.num_heads, self.d_k)
+        return (
+            shape(self.linear_q(q_in)),
+            shape(self.linear_k(k_in)),
+            shape(self.linear_v(v_in)),
+        )
+
+    def _attend(self, scores, v, mask, deterministic):
+        # scores: (B, H, Tq, Tk) -- softmax in float32
+        if mask is not None:
+            scores = jnp.where(mask, scores, NEG_INF)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        if mask is not None:
+            attn = jnp.where(mask, attn, 0.0)
+        attn = attn.astype(v.dtype)
+        attn = self.attn_drop(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        B, Tq = out.shape[0], out.shape[1]
+        return self.linear_out(out.reshape(B, Tq, self.hidden_size))
+
+    def __call__(self, q_in, k_in, v_in, mask=None, deterministic: bool = True):
+        q, k, v = self._qkv(q_in, k_in, v_in)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(self.d_k)
+        return self._attend(scores, v, mask, deterministic)
+
+
+class RelMultiHeadAttention(MultiHeadAttention):
+    """Transformer-XL style relative-position MHSA (conformer.py:57-95)."""
+
+    def setup(self):
+        super().setup()
+        self.linear_pos = nn.Dense(self.hidden_size, use_bias=False)
+        init = nn.initializers.xavier_uniform()
+        self.pos_bias_u = self.param(
+            "pos_bias_u", init, (self.num_heads, self.d_k)
+        )
+        self.pos_bias_v = self.param(
+            "pos_bias_v", init, (self.num_heads, self.d_k)
+        )
+
+    @staticmethod
+    def rel_shift(x):
+        """(B, H, T, 2T-1): row i keeps relative offsets aligned so column j
+        holds position j - i (conformer.py:70-77)."""
+        B, H, T, L = x.shape
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))
+        x = x.reshape(B, H, L + 1, T)[:, :, 1:, :]
+        x = x.reshape(B, H, T, L)[:, :, :, :T]
+        return x
+
+    def __call__(self, q_in, k_in, v_in, pos_emb=None, mask=None, deterministic=True):
+        q, k, v = self._qkv(q_in, k_in, v_in)
+        B = q_in.shape[0]
+        p = self.linear_pos(pos_emb).reshape(-1, self.num_heads, self.d_k)
+        # p: (2T-1, H, D), shared across the batch
+
+        bias_u = self.pos_bias_u.astype(q.dtype)
+        bias_v = self.pos_bias_v.astype(q.dtype)
+        matrix_ac = jnp.einsum("bqhd,bkhd->bhqk", q + bias_u[None, None], k)
+        matrix_bd = jnp.einsum("bqhd,khd->bhqk", q + bias_v[None, None], p)
+        matrix_bd = self.rel_shift(matrix_bd)
+        scores = (matrix_ac + matrix_bd) / math.sqrt(self.d_k)
+        return self._attend(scores, v, mask, deterministic)
+
+
+class PositionwiseFeedForward(nn.Module):
+    """w2(drop(act(w1(x)))) (transformer.py:102-118)."""
+
+    intermediate_size: int
+    hidden_size: int
+    dropout_rate: float = 0.0
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.Dense(self.intermediate_size, name="w1")(x)
+        h = nn.relu(h) if self.activation == "relu" else nn.swish(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return nn.Dense(self.hidden_size, name="w2")(h)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Pre-norm MHSA + FF with residuals, eps=1e-12 (transformer.py:121-153)."""
+
+    num_heads: int
+    hidden_size: int
+    intermediate_size: int
+    dropout_rate: float = 0.1
+    dropout_attn_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask=None, pos_emb=None, deterministic: bool = True):
+        drop = nn.Dropout(self.dropout_rate)
+        h = nn.LayerNorm(epsilon=1e-12, name="norm1")(x)
+        h = MultiHeadAttention(
+            self.num_heads, self.hidden_size, self.dropout_attn_rate,
+            name="self_attn",
+        )(h, h, h, mask, deterministic)
+        x = x + drop(h, deterministic=deterministic)
+        h = nn.LayerNorm(epsilon=1e-12, name="norm2")(x)
+        h = PositionwiseFeedForward(
+            self.intermediate_size, self.hidden_size, self.dropout_rate,
+            name="feed_forward",
+        )(h, deterministic)
+        return x + drop(h, deterministic=deterministic)
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Pre-norm self-attn + cross-attn + FF (transformer.py:156-198)."""
+
+    num_heads: int
+    hidden_size: int
+    intermediate_size: int
+    dropout_rate: float = 0.1
+    dropout_attn_rate: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self, x, tgt_mask, memory, memory_mask, deterministic: bool = True
+    ):
+        drop = nn.Dropout(self.dropout_rate)
+        h = nn.LayerNorm(epsilon=1e-12, name="norm1")(x)
+        h = MultiHeadAttention(
+            self.num_heads, self.hidden_size, self.dropout_attn_rate,
+            name="self_attn",
+        )(h, h, h, tgt_mask, deterministic)
+        x = x + drop(h, deterministic=deterministic)
+
+        h = nn.LayerNorm(epsilon=1e-12, name="norm2")(x)
+        h = MultiHeadAttention(
+            self.num_heads, self.hidden_size, self.dropout_attn_rate,
+            name="src_attn",
+        )(h, memory, memory, memory_mask, deterministic)
+        x = x + drop(h, deterministic=deterministic)
+
+        h = nn.LayerNorm(epsilon=1e-12, name="norm3")(x)
+        h = PositionwiseFeedForward(
+            self.intermediate_size, self.hidden_size, self.dropout_rate,
+            name="feed_forward",
+        )(h, deterministic)
+        return x + drop(h, deterministic=deterministic)
+
+
+class ConvModule(nn.Module):
+    """Conformer convolution module (conformer.py:98-143):
+    pointwise(2C) -> GLU -> depthwise k=31 SAME -> BN -> swish -> pointwise.
+
+    BatchNorm statistics run over (B, T) including padded frames, matching
+    the reference's unmasked BatchNorm1d.
+    """
+
+    channels: int
+    kernel_size: int = 31
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        # x: (B, T, C)
+        h = nn.Conv(2 * self.channels, (1,), name="pointwise_conv1")(x)
+        h = nn.glu(h, axis=-1)
+        h = nn.Conv(
+            self.channels,
+            (self.kernel_size,),
+            padding="SAME",
+            feature_group_count=self.channels,
+            name="depthwise_conv",
+        )(h)
+        h = nn.BatchNorm(
+            use_running_average=deterministic, name="batch_norm"
+        )(h)
+        h = nn.swish(h)
+        return nn.Conv(self.channels, (1,), name="pointwise_conv2")(h)
+
+
+class ConformerEncoderLayer(nn.Module):
+    """Macaron FF x0.5 -> (rel)MHSA -> conv -> FF x0.5 -> final LN
+    (conformer.py:146-229); inner LayerNorms use torch-default eps=1e-5."""
+
+    num_heads: int
+    hidden_size: int
+    intermediate_size: int
+    dropout_rate: float = 0.1
+    dropout_attn_rate: float = 0.1
+    pos_encode_type: str = "rel"
+    conv_kernel_size: int = 31
+
+    @nn.compact
+    def __call__(self, x, mask=None, pos_emb=None, deterministic: bool = True):
+        drop = nn.Dropout(self.dropout_rate)
+
+        h = nn.LayerNorm(name="norm_ff_macaron")(x)
+        h = PositionwiseFeedForward(
+            self.intermediate_size, self.hidden_size, self.dropout_rate,
+            activation="swish", name="feed_forward_macaron",
+        )(h, deterministic)
+        x = x + 0.5 * drop(h, deterministic=deterministic)
+
+        if self.pos_encode_type == "rel":
+            h = nn.LayerNorm(name="norm_self_attn")(x)
+            h = RelMultiHeadAttention(
+                self.num_heads, self.hidden_size, self.dropout_attn_rate,
+                name="self_attn",
+            )(h, h, h, pos_emb, mask, deterministic)
+            x = x + drop(h, deterministic=deterministic)
+
+            h = nn.LayerNorm(name="norm_conv")(x)
+            h = ConvModule(self.hidden_size, self.conv_kernel_size, name="conv")(
+                h, deterministic
+            )
+            x = x + drop(h, deterministic=deterministic)
+        else:  # abs: conv before attention (conformer.py:212-227)
+            h = nn.LayerNorm(name="norm_conv")(x)
+            h = ConvModule(self.hidden_size, self.conv_kernel_size, name="conv")(
+                h, deterministic
+            )
+            x = x + drop(h, deterministic=deterministic)
+
+            h = nn.LayerNorm(name="norm_self_attn")(x)
+            h = MultiHeadAttention(
+                self.num_heads, self.hidden_size, self.dropout_attn_rate,
+                name="self_attn",
+            )(h, h, h, mask, deterministic)
+            x = x + drop(h, deterministic=deterministic)
+
+        h = nn.LayerNorm(name="norm_ff")(x)
+        h = PositionwiseFeedForward(
+            self.intermediate_size, self.hidden_size, self.dropout_rate,
+            activation="swish", name="feed_forward",
+        )(h, deterministic)
+        x = x + 0.5 * drop(h, deterministic=deterministic)
+
+        return nn.LayerNorm(name="norm_final")(x)
+
+
+class Conv2dSubsampler(nn.Module):
+    """Two VALID 3x3 stride-2 convs + ReLU + linear: 4x time reduction,
+    xlens' = ((l-1)//2 - 1)//2 (encoders/conv.py:5-28)."""
+
+    output_dim: int
+
+    @nn.compact
+    def __call__(self, xs, xlens):
+        # xs: (B, T, F) -> (B, T, F, 1) NHWC
+        h = xs[:, :, :, None]
+        h = nn.Conv(
+            self.output_dim, (3, 3), strides=(2, 2), padding="VALID", name="conv1"
+        )(h)
+        h = nn.relu(h)
+        h = nn.Conv(
+            self.output_dim, (3, 3), strides=(2, 2), padding="VALID", name="conv2"
+        )(h)
+        h = nn.relu(h)
+        B, T2, F2, C = h.shape
+        h = nn.Dense(self.output_dim, name="output")(
+            h.transpose(0, 1, 3, 2).reshape(B, T2, C * F2)
+        )
+        new_lens = ((xlens - 1) // 2 - 1) // 2
+        return h, new_lens

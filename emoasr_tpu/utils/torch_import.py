@@ -1,0 +1,180 @@
+"""Import reference (emoASR / torch) checkpoints into flax parameter trees.
+
+Needed for the WER-parity goal: load `model.ep{N}` state_dicts from the
+reference (`asr/train_asr.py:290-303` checkpoint format) and evaluate them
+with the JAX models.  Layout conversions:
+
+- Linear  (out,in)            -> Dense kernel (in,out)
+- Conv2d  (out,in,kh,kw)      -> Conv kernel (kh,kw,in,out)
+- Conv1d  (out,in,k)          -> Conv kernel (k,in,out)
+- LSTM    weight_ih_l0 etc.   -> UniLSTM params (same torch layout, no T)
+- BatchNorm running stats     -> batch_stats collection
+- Embedding weight            -> Embed embedding
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+Array = np.ndarray
+SD = Dict[str, Array]
+
+
+def dense(sd: SD, p: str, bias: bool = True) -> dict:
+    out = {"kernel": sd[f"{p}.weight"].T}
+    if bias:
+        out["bias"] = sd[f"{p}.bias"]
+    return out
+
+
+def conv2d(sd: SD, p: str) -> dict:
+    return {
+        "kernel": sd[f"{p}.weight"].transpose(2, 3, 1, 0),
+        "bias": sd[f"{p}.bias"],
+    }
+
+
+def conv1d(sd: SD, p: str) -> dict:
+    return {
+        "kernel": sd[f"{p}.weight"].transpose(2, 1, 0),
+        "bias": sd[f"{p}.bias"],
+    }
+
+
+def layer_norm(sd: SD, p: str) -> dict:
+    return {"scale": sd[f"{p}.weight"], "bias": sd[f"{p}.bias"]}
+
+
+def embed(sd: SD, p: str) -> dict:
+    return {"embedding": sd[f"{p}.weight"]}
+
+
+def lstm(sd: SD, p: str, suffix: str = "_l0") -> dict:
+    return {
+        "weight_ih": sd[f"{p}.weight_ih{suffix}"],
+        "weight_hh": sd[f"{p}.weight_hh{suffix}"],
+        "bias_ih": sd[f"{p}.bias_ih{suffix}"],
+        "bias_hh": sd[f"{p}.bias_hh{suffix}"],
+    }
+
+
+def mha(sd: SD, p: str, rel: bool = False) -> dict:
+    out = {
+        "linear_q": dense(sd, f"{p}.linear_q"),
+        "linear_k": dense(sd, f"{p}.linear_k"),
+        "linear_v": dense(sd, f"{p}.linear_v"),
+        "linear_out": dense(sd, f"{p}.linear_out"),
+    }
+    if rel:
+        out["linear_pos"] = dense(sd, f"{p}.linear_pos", bias=False)
+        out["pos_bias_u"] = sd[f"{p}.pos_bias_u"]
+        out["pos_bias_v"] = sd[f"{p}.pos_bias_v"]
+    return out
+
+
+def feed_forward(sd: SD, p: str) -> dict:
+    return {"w1": dense(sd, f"{p}.w1"), "w2": dense(sd, f"{p}.w2")}
+
+
+def conv_subsampler(sd: SD, p: str = "conv") -> dict:
+    # reference: conv.conv.0 / conv.conv.2 (Sequential), conv.output
+    return {
+        "conv1": conv2d(sd, f"{p}.conv.0"),
+        "conv2": conv2d(sd, f"{p}.conv.2"),
+        "output": dense(sd, f"{p}.output"),
+    }
+
+
+def transformer_layer(sd: SD, p: str) -> dict:
+    return {
+        "norm1": layer_norm(sd, f"{p}.norm1"),
+        "norm2": layer_norm(sd, f"{p}.norm2"),
+        "self_attn": mha(sd, f"{p}.self_attn"),
+        "feed_forward": feed_forward(sd, f"{p}.feed_forward"),
+    }
+
+
+def conformer_layer(sd: SD, p: str, rel: bool = True) -> Tuple[dict, dict]:
+    """Returns (params, batch_stats)."""
+    params = {
+        "norm_ff_macaron": layer_norm(sd, f"{p}.norm_ff_macaron"),
+        "feed_forward_macaron": feed_forward(sd, f"{p}.feed_forward_macaron"),
+        "norm_self_attn": layer_norm(sd, f"{p}.norm_self_attn"),
+        "self_attn": mha(sd, f"{p}.self_attn", rel=rel),
+        "norm_conv": layer_norm(sd, f"{p}.norm_conv"),
+        "conv": {
+            "pointwise_conv1": conv1d(sd, f"{p}.conv.pointwise_conv1"),
+            "depthwise_conv": conv1d(sd, f"{p}.conv.depthwise_conv"),
+            "batch_norm": {
+                "scale": sd[f"{p}.conv.batch_norm.weight"],
+                "bias": sd[f"{p}.conv.batch_norm.bias"],
+            },
+            "pointwise_conv2": conv1d(sd, f"{p}.conv.pointwise_conv2"),
+        },
+        "norm_ff": layer_norm(sd, f"{p}.norm_ff"),
+        "feed_forward": feed_forward(sd, f"{p}.feed_forward"),
+        "norm_final": layer_norm(sd, f"{p}.norm_final"),
+    }
+    stats = {
+        "conv": {
+            "batch_norm": {
+                "mean": sd[f"{p}.conv.batch_norm.running_mean"],
+                "var": sd[f"{p}.conv.batch_norm.running_var"],
+            }
+        }
+    }
+    return params, stats
+
+
+def transformer_encoder(
+    sd: SD, num_layers: int, is_conformer: bool, prefix: str = "",
+    input_layer: str = "conv2d",
+) -> Tuple[dict, dict]:
+    """Convert a reference TransformerEncoder state_dict subtree.
+
+    Returns (params, batch_stats) for `emoasr_tpu.models.encoders.TransformerEncoder`.
+    """
+    P = lambda s: f"{prefix}{s}"
+    params: dict = {}
+    stats: dict = {}
+    if input_layer == "conv2d":
+        params["conv"] = conv_subsampler(sd, P("conv"))
+    elif input_layer == "embed":
+        params["embed"] = embed(sd, P("embed"))
+    elif input_layer == "linear":
+        params["linear"] = dense(sd, P("linear"))
+    for i in range(num_layers):
+        lp = P(f"transformers.{i}")
+        if is_conformer:
+            params[f"layers_{i}"], st = conformer_layer(sd, lp)
+            stats[f"layers_{i}"] = st
+        else:
+            params[f"layers_{i}"] = transformer_layer(sd, lp)
+    params["norm"] = layer_norm(sd, P("norm"))
+    return params, stats
+
+
+def rnn_encoder(sd: SD, num_layers: int, prefix: str = "") -> dict:
+    P = lambda s: f"{prefix}{s}"
+    params: dict = {"conv": conv_subsampler(sd, P("conv"))}
+    for i in range(num_layers):
+        params[f"rnns_{i}"] = {
+            "fwd": lstm(sd, P(f"rnns.{i}"), "_l0"),
+            "bwd": lstm(sd, P(f"rnns.{i}"), "_l0_reverse"),
+        }
+    return params
+
+
+def load_state_dict_np(path: str) -> SD:
+    """Load a torch checkpoint into numpy arrays (CPU)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def npz_state_dict(npz) -> SD:
+    """Extract a state_dict saved by tools/gen_*_fixtures.py ('sd::' keys)."""
+    return {k[4:]: npz[k] for k in npz.files if k.startswith("sd::")}
