@@ -1,0 +1,200 @@
+"""RNN-Transducer decoder: LSTM prediction network, additive joint network,
+on-device transducer loss, and batched greedy decoding.
+
+Parity target: `/root/reference/asr/modeling/decoders/rnn_transducer.py`:
+- prediction net: embedding + emb-dropout + stacked 1-layer LSTMs (:158-192)
+- joint: tanh(W_enc·e + W_dec·d) -> output linear (:147-156)
+- loss: warp_rnnt mean reduction (:106-115) -> `emoasr_tpu.ops.rnnt`
+- aux CTC MTL (:119-125), word/align KD (:127-141)
+- greedy: time-sync emit-until-blank with a 256-emission cap (:194-240),
+  here a batched `lax.while_loop` instead of per-utterance Python.
+
+The ALSD beam search (:242-325) lives in `emoasr_tpu/search/rnnt_beam.py`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from emoasr_tpu.config import ExpConfig
+from emoasr_tpu.models.criteria import (
+    rnnt_align_distill_loss,
+    rnnt_word_distill_loss,
+)
+from emoasr_tpu.models.decoders.ctc import CTCDecoder
+from emoasr_tpu.ops.lstm import StackedLSTM
+from emoasr_tpu.ops.rnnt import rnnt_forced_align, rnnt_loss
+
+
+class RNNTDecoder(nn.Module):
+    cfg: ExpConfig
+
+    def setup(self):
+        cfg = self.cfg
+        emb_size = cfg.embedding_size or cfg.dec_hidden_size
+        self.embed = nn.Embed(cfg.vocab_size, emb_size, name="embed")
+        self.dropout_emb = nn.Dropout(cfg.dropout_emb_rate)
+        self.prediction = StackedLSTM(
+            cfg.dec_hidden_size, cfg.dec_num_layers, cfg.dropout_dec_rate,
+            name="rnns",
+        )
+        joint = cfg.joint_hidden_size or cfg.dec_hidden_size
+        self.w_enc = nn.Dense(joint, name="w_enc")
+        self.w_dec = nn.Dense(joint, name="w_dec")
+        self.output = nn.Dense(cfg.vocab_size, name="output")
+        if cfg.mtl_ctc_weight > 0:
+            self.ctc = CTCDecoder(cfg)
+
+    # ---- submodules ----
+
+    def recurrency(self, ys_in, dstate=None, deterministic: bool = True):
+        """Prediction network over (B, L) tokens; dstate (layers, 2, B, H)."""
+        emb = self.dropout_emb(
+            self.embed(ys_in.astype(jnp.int32)), deterministic=deterministic
+        )
+        return self.prediction(emb, dstate, deterministic=deterministic)
+
+    def joint(self, eouts, douts):
+        """(B, T, E) x (B, L, D) -> (B, T, L, V)."""
+        e = self.w_enc(eouts)[:, :, None, :]
+        d = self.w_dec(douts)[:, None, :, :]
+        return self.output(jnp.tanh(e + d))
+
+    def joint_step(self, eouts_t, douts_t):
+        """(B, E) x (B, D) -> (B, V) single-cell joint for decoding."""
+        return self.output(jnp.tanh(self.w_enc(eouts_t) + self.w_dec(douts_t)))
+
+    # ---- training ----
+
+    def __call__(
+        self,
+        eouts,
+        elens,
+        eouts_inter=None,
+        ys=None,
+        ylens=None,
+        ys_in=None,
+        ys_out=None,
+        soft_labels=None,
+        ps=None,
+        plens=None,
+        deterministic: bool = True,
+    ):
+        cfg = self.cfg
+        loss_dict = {}
+
+        douts, _ = self.recurrency(ys_in, None, deterministic)  # (B, U+1, D)
+        logits = self.joint(eouts, douts)  # (B, T, U+1, V)
+        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+        loss_rnnt = rnnt_loss(
+            log_probs, ys, elens, ylens, cfg.blank_id, reduction="mean"
+        )
+        loss = loss_rnnt
+        loss_dict["loss_rnnt"] = loss_rnnt
+
+        if cfg.mtl_ctc_weight > 0:
+            loss_ctc, _, _ = self.ctc(
+                eouts, elens, ys=ys, ylens=ylens, deterministic=deterministic
+            )
+            loss = loss + cfg.mtl_ctc_weight * loss_ctc
+            loss_dict["loss_ctc"] = loss_ctc
+
+        if cfg.kd_weight > 0 and soft_labels is not None:
+            if cfg.kd_type == "word":
+                loss_kd = rnnt_word_distill_loss(
+                    logits, soft_labels, elens, ylens
+                )
+            else:  # align
+                aligns = jax.lax.stop_gradient(
+                    rnnt_forced_align(log_probs, elens, ys, ylens, cfg.blank_id)
+                )
+                loss_kd = rnnt_align_distill_loss(
+                    logits, soft_labels, aligns, elens, ylens
+                )
+            loss_dict["loss_kd"] = loss_kd
+            if cfg.reduce_main_loss_kd:
+                loss = (1 - cfg.kd_weight) * loss + cfg.kd_weight * loss_kd
+            else:
+                loss = loss + cfg.kd_weight * loss_kd
+
+        loss_dict["loss_total"] = loss
+        return loss, loss_dict, logits
+
+    # ---- inference ----
+
+    def greedy(
+        self, eouts: jnp.ndarray, elens: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Batched time-synchronous greedy decode.
+
+        Per utterance: evaluate the joint at (t, last-emitted-state); on
+        blank advance t, otherwise emit (cap `cfg.max_decode_ylen`) —
+        semantics of rnn_transducer.py:194-240, vectorized over the batch
+        with a single `lax.while_loop`.
+
+        Returns (hyps (B, max_decode_ylen), hyp_lens, aligns (B, T+cap)).
+        """
+        cfg = self.cfg
+        B, T, _ = eouts.shape
+        L = cfg.max_decode_ylen
+        layers = cfg.dec_num_layers
+
+        ys0 = jnp.full((B,), cfg.eos_id, jnp.int32)
+        d0 = jnp.zeros((layers, 2, B, cfg.dec_hidden_size), eouts.dtype)
+        dout0, dstate0 = self.recurrency(ys0[:, None], d0)
+        dout0 = dout0[:, 0]  # (B, D)
+
+        max_steps = T + L
+
+        def cond(state):
+            step, t, u, done, *_ = state
+            return (step < max_steps) & (~done.all())
+
+        def body(state):
+            step, t, u, done, dout, dstate, hyps, aligns = state
+            t_c = jnp.minimum(t, T - 1)
+            e_t = jnp.take_along_axis(eouts, t_c[:, None, None], axis=1)[:, 0]
+            logit = self.joint_step(e_t, dout)  # (B, V)
+            tok = jnp.argmax(logit, axis=-1).astype(jnp.int32)
+            active = ~done
+            is_blank = (tok == cfg.blank_id) | ~active
+
+            # record alignment token (blank or label) at this step
+            aligns = aligns.at[jnp.arange(B), jnp.minimum(step, max_steps - 1)].set(
+                jnp.where(active, tok, 0)
+            )
+
+            # emit
+            emit = active & ~is_blank
+            hyps = hyps.at[jnp.arange(B), jnp.minimum(u, L - 1)].set(
+                jnp.where(emit, tok, hyps[jnp.arange(B), jnp.minimum(u, L - 1)])
+            )
+            new_u = jnp.where(emit, u + 1, u)
+
+            # prediction-net update only where emitted
+            new_dout, new_dstate = self.recurrency(tok[:, None], dstate)
+            new_dout = new_dout[:, 0]
+            dout = jnp.where(emit[:, None], new_dout, dout)
+            dstate = jnp.where(emit[None, None, :, None], new_dstate, dstate)
+
+            new_t = jnp.where(active & is_blank, t + 1, t)
+            new_done = done | (new_t >= elens) | (new_u >= L)
+            return (step + 1, new_t, new_u, new_done, dout, dstate, hyps, aligns)
+
+        init = (
+            jnp.int32(0),
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), bool),
+            dout0,
+            dstate0,
+            jnp.zeros((B, L), jnp.int32),
+            jnp.zeros((B, max_steps), jnp.int32),
+        )
+        _, _, u, _, _, _, hyps, aligns = jax.lax.while_loop(cond, body, init)
+        return hyps, u, aligns

@@ -167,6 +167,113 @@ def rnn_encoder(sd: SD, num_layers: int, prefix: str = "") -> dict:
     return params
 
 
+def transformer_decoder_layer(sd: SD, p: str) -> dict:
+    return {
+        "norm1": layer_norm(sd, f"{p}.norm1"),
+        "norm2": layer_norm(sd, f"{p}.norm2"),
+        "norm3": layer_norm(sd, f"{p}.norm3"),
+        "self_attn": mha(sd, f"{p}.self_attn"),
+        "src_attn": mha(sd, f"{p}.src_attn"),
+        "feed_forward": feed_forward(sd, f"{p}.feed_forward"),
+    }
+
+
+def transformer_decoder(sd: SD, num_layers: int, prefix: str = "") -> dict:
+    """Convert a reference attention-decoder state_dict subtree
+    (`asr/modeling/decoders/transformer.py:25-60`)."""
+    P = lambda s: f"{prefix}{s}"
+    params = {
+        "embed": embed(sd, P("embed")),
+        "norm": layer_norm(sd, P("norm")),
+        "output": dense(sd, P("output")),
+    }
+    for i in range(num_layers):
+        params[f"layers_{i}"] = transformer_decoder_layer(sd, P(f"transformers.{i}"))
+    if any(k.startswith(P("ctc.")) for k in sd):
+        params["ctc"] = ctc_decoder(sd, P("ctc."))
+    return params
+
+
+def ctc_decoder(sd: SD, prefix: str = "") -> dict:
+    params = {"output": dense(sd, f"{prefix}output")}
+    if f"{prefix}phone_output.weight" in sd:
+        params["phone_output"] = dense(sd, f"{prefix}phone_output")
+    return params
+
+
+def rnnt_decoder(sd: SD, num_layers: int, prefix: str = "") -> dict:
+    """Convert a reference RNN-T decoder subtree
+    (`asr/modeling/decoders/rnn_transducer.py:24-62`)."""
+    P = lambda s: f"{prefix}{s}"
+    params = {
+        "embed": embed(sd, P("embed")),
+        "rnns": {
+            f"layer{i}": lstm(sd, P(f"rnns.{i}"), "_l0") for i in range(num_layers)
+        },
+        "w_enc": dense(sd, P("w_enc")),
+        "w_dec": dense(sd, P("w_dec")),
+        "output": dense(sd, P("output")),
+    }
+    if any(k.startswith(P("ctc.")) for k in sd):
+        params["ctc"] = ctc_decoder(sd, P("ctc."))
+    return params
+
+
+def las_decoder(sd: SD, num_layers: int, prefix: str = "") -> dict:
+    """Convert a reference LAS decoder subtree (las.py:22-60, 289-303)."""
+    P = lambda s: f"{prefix}{s}"
+    params = {
+        "embed": embed(sd, P("embed")),
+        "output": dense(sd, P("output")),
+        "intermed_kernel": sd[P("intermed.weight")].T,
+        "intermed_bias": sd[P("intermed.bias")],
+        "w_key_kernel": sd[P("score.w_key.weight")].T,
+        "w_key_bias": sd[P("score.w_key.bias")],
+        "w_query_kernel": sd[P("score.w_query.weight")].T,
+        "w_query_bias": sd[P("score.w_query.bias")],
+        "w_conv_kernel": sd[P("score.w_conv.weight")].T,
+        "w_conv_bias": sd[P("score.w_conv.bias")],
+        "w_score_kernel": sd[P("score.w_score.weight")].T,
+        "w_score_bias": sd[P("score.w_score.bias")],
+        "attn_conv_kernel": sd[P("score.conv.weight")].transpose(2, 1, 0),
+    }
+    for i in range(num_layers):
+        params[f"cell{i}_w_ih"] = sd[P(f"rnns.{i}.weight_ih")]
+        params[f"cell{i}_w_hh"] = sd[P(f"rnns.{i}.weight_hh")]
+        params[f"cell{i}_b_ih"] = sd[P(f"rnns.{i}.bias_ih")]
+        params[f"cell{i}_b_hh"] = sd[P(f"rnns.{i}.bias_hh")]
+    if any(k.startswith(P("ctc.")) for k in sd):
+        params["ctc"] = ctc_decoder(sd, P("ctc."))
+    return params
+
+
+def asr_model(sd: SD, cfg) -> Tuple[dict, dict]:
+    """Convert a full reference ASR checkpoint (`asr/modeling/asr.py`).
+
+    Returns ({"encoder": ..., "decoder": ...}, batch_stats)."""
+    stats: dict = {}
+    if cfg.encoder_type == "rnn":
+        enc = rnn_encoder(sd, cfg.enc_num_layers, "encoder.")
+    else:
+        enc, enc_stats = transformer_encoder(
+            sd, cfg.enc_num_layers, cfg.encoder_type == "conformer",
+            "encoder.", cfg.input_layer,
+        )
+        if enc_stats:
+            stats["encoder"] = enc_stats
+    if cfg.decoder_type == "ctc":
+        dec = ctc_decoder(sd, "decoder.")
+    elif cfg.decoder_type == "rnn_transducer":
+        dec = rnnt_decoder(sd, cfg.dec_num_layers, "decoder.")
+    elif cfg.decoder_type == "transformer":
+        dec = transformer_decoder(sd, cfg.dec_num_layers, "decoder.")
+    elif cfg.decoder_type == "las":
+        dec = las_decoder(sd, cfg.dec_num_layers, "decoder.")
+    else:
+        raise ValueError(cfg.decoder_type)
+    return {"encoder": enc, "decoder": dec}, stats
+
+
 def load_state_dict_np(path: str) -> SD:
     """Load a torch checkpoint into numpy arrays (CPU)."""
     import torch
