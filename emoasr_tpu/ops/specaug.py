@@ -1,0 +1,94 @@
+"""SpecAugment as a batched on-device op.
+
+Parity target: `/root/reference/asr/spec_augment.py:10-95` — frequency and
+time masks, adaptive variant (`max_mask_time_ratio`/`num_masks_time_ratio`,
+caps of 20), zero or mean fill.  The reference mutates per-sample numpy
+arrays inside DataLoader workers; here one jitted call masks the whole
+padded (B, T, F) batch on device with `jax.random` (explicit PRNG threading
+replaces the reference's global seeds).
+
+Distribution note (documented divergence): the reference draws two values
+per mask and uses the first only to bound the start position and the second
+as the width (spec_augment.py:47-56) — an evident quirk of the espnet port.
+Here each mask draws width w ~ U[0, max) and start ~ U[0, dim - w), the
+standard SpecAugment formulation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+MAX_MASKS = 20  # adaptive cap (spec_augment.py:71-72)
+
+
+def _apply_masks(x, starts, widths, num_active, axis_len, axis):
+    """Zero/mean-mask along `axis` (1=time, 2=freq) given per-sample mask
+    params.  starts/widths: (B, MAX_MASKS); num_active: (B,)."""
+    B = x.shape[0]
+    pos = jnp.arange(axis_len)[None, None, :]  # (1, 1, L)
+    s = starts[:, :, None]
+    e = (starts + widths)[:, :, None]
+    active = (jnp.arange(MAX_MASKS)[None, :, None] < num_active[:, None, None])
+    hit = ((pos >= s) & (pos < e) & active).any(axis=1)  # (B, L)
+    if axis == 1:
+        return hit[:, :, None]
+    return hit[:, None, :]
+
+
+def spec_augment(
+    key: jax.Array,
+    xs: jnp.ndarray,
+    xlens: jnp.ndarray,
+    max_mask_freq: int = 30,
+    num_masks_freq: int = 2,
+    max_mask_time: int = 40,
+    num_masks_time: int = 2,
+    max_mask_time_ratio: Optional[float] = None,
+    num_masks_time_ratio: Optional[float] = None,
+    replace_with_zero: bool = True,
+) -> jnp.ndarray:
+    """Masked copy of xs (B, T, F).  Time masks never start beyond xlens."""
+    B, T, F = xs.shape
+    kf1, kf2, kt1, kt2, kn = jax.random.split(key, 5)
+
+    # frequency masks
+    fw = jax.random.randint(kf1, (B, MAX_MASKS), 0, max(max_mask_freq, 1))
+    fs = jax.random.randint(kf2, (B, MAX_MASKS), 0, jnp.maximum(F - fw, 1))
+    fmask = _apply_masks(xs, fs, fw, jnp.full((B,), num_masks_freq), F, axis=2)
+
+    # time masks (adaptive caps per spec_augment.py:71-76)
+    if max_mask_time_ratio is not None:
+        mmt = jnp.minimum(20, jnp.round(xlens * max_mask_time_ratio)).astype(
+            jnp.int32
+        )
+        nmt = jnp.minimum(
+            20, jnp.round(xlens * num_masks_time_ratio)
+        ).astype(jnp.int32)
+    else:
+        mmt = jnp.full((B,), max_mask_time, jnp.int32)
+        nmt = jnp.full((B,), num_masks_time, jnp.int32)
+
+    tw = jax.random.randint(kt1, (B, MAX_MASKS), 0, 2 ** 30) % jnp.maximum(
+        mmt[:, None], 1
+    )
+    ts = jax.random.randint(kt2, (B, MAX_MASKS), 0, 2 ** 30) % jnp.maximum(
+        xlens[:, None] - tw, 1
+    )
+    tmask = _apply_masks(xs, ts, tw, nmt, T, axis=1)
+
+    mask = fmask | tmask
+    if replace_with_zero:
+        fill = 0.0
+    else:
+        # per-sample mean over valid frames (the reference's .mean() runs on
+        # the unpadded per-sample array)
+        valid = (jnp.arange(T)[None, :] < xlens[:, None])[:, :, None]
+        fill = (
+            jnp.sum(jnp.where(valid, xs, 0.0), axis=(1, 2))
+            / jnp.maximum(jnp.sum(valid, axis=(1, 2)) * F, 1)
+        )[:, None, None]
+    return jnp.where(mask, fill, xs)

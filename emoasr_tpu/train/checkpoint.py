@@ -1,0 +1,109 @@
+"""Checkpoint save / resume / epoch-range averaging (orbax).
+
+Parity targets:
+- per-epoch `model.ep{N}` + `optim.ep{N}` under `<run>/checkpoints`
+  (`asr/train_asr.py:290-303`, `utils/paths.py:54-78`) — here orbax
+  directories with the same names.
+- `--resume` finds the latest epoch pair (`utils/paths.py:81-129`).
+- post-hoc weight averaging over epoch ranges "91-100" or lists "1+2+5"
+  (`utils/average_checkpoints.py:16-52`), triggered lazily at test time.
+- warm start from `model_path` (`asr/train_asr.py:215-227`).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+from typing import Any, List, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from emoasr_tpu.utils.paths import get_model_path
+
+
+def _ckptr():
+    return ocp.PyTreeCheckpointer()
+
+
+def save_model(path: str, params: Any, batch_stats: Any = None) -> None:
+    tree = {"params": params}
+    if batch_stats:
+        tree["batch_stats"] = batch_stats
+    _ckptr().save(os.path.abspath(path), tree, force=True)
+
+
+def load_model(path: str) -> dict:
+    return _ckptr().restore(os.path.abspath(path))
+
+
+def save_optim(path: str, opt_state: Any, step, epoch_scale, skipped) -> None:
+    tree = {
+        "opt_state": opt_state,
+        "step": np.asarray(step),
+        "epoch_scale": np.asarray(epoch_scale),
+        "skipped": np.asarray(skipped),
+    }
+    _ckptr().save(os.path.abspath(path), tree, force=True)
+
+
+def load_optim(path: str, target_opt_state: Any = None) -> dict:
+    if target_opt_state is not None:
+        tree = {
+            "opt_state": target_opt_state,
+            "step": np.asarray(0, np.int32),
+            "epoch_scale": np.asarray(1.0, np.float32),
+            "skipped": np.asarray(0, np.int32),
+        }
+        return _ckptr().restore(
+            os.path.abspath(path), args=ocp.args.PyTreeRestore(tree)
+        )
+    return _ckptr().restore(os.path.abspath(path))
+
+
+def parse_epochs(ep: str) -> Optional[List[int]]:
+    """"91-100" -> range; "1+2+5" -> list; plain ints -> None (no averaging)
+    (average_checkpoints.py:19-27)."""
+    if "-" in ep:
+        a, b = ep.split("-")
+        return list(range(int(a), int(b) + 1))
+    if "+" in ep:
+        return list(map(int, ep.split("+")))
+    return None
+
+
+def model_average(conf_path: str, ep: str) -> Optional[str]:
+    """Average `model.ep{N}` over an epoch range; saves `model.ep{ep}`.
+
+    Returns the save path (or None if `ep` is a single epoch)."""
+    epochs = parse_epochs(ep)
+    if epochs is None:
+        return None
+    save_path = get_model_path(conf_path, ep)
+    if os.path.exists(save_path):
+        logging.info(f"checkpoint: {save_path} already exists")
+        return save_path
+
+    logging.info(f"average checkpoints... (epochs: {epochs})")
+    avg = None
+    for e in epochs:
+        tree = load_model(get_model_path(conf_path, e))
+        if avg is None:
+            avg = tree
+        else:
+            avg = jax.tree_util.tree_map(lambda a, b: a + b, avg, tree)
+    avg = jax.tree_util.tree_map(lambda a: a / len(epochs), avg)
+    _ckptr().save(os.path.abspath(save_path), avg, force=True)
+    logging.info(f"checkpoints saved to: {save_path}")
+    return save_path
+
+
+def resolve_model_checkpoint(conf_path: str, ep: str) -> str:
+    """Path for `-ep`, averaging lazily when a range is requested
+    (test_asr.py:170-172)."""
+    path = get_model_path(conf_path, ep)
+    if not os.path.exists(path) and parse_epochs(ep) is not None:
+        model_average(conf_path, ep)
+    return path

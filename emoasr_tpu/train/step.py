@@ -1,0 +1,179 @@
+"""Jitted SPMD train / valid steps.
+
+Replaces the reference's `train_step` (`asr/train_asr.py:35-98`): H2D copies,
+forward, backward, clip, NaN-skip, scheduled LR, optimizer step — all fused
+into ONE compiled program per bucket shape, sharded over the mesh's data
+axis (parameters replicated, XLA inserts the gradient all-reduce on ICI).
+
+On-device preprocessing (SpecAugment -> frame stacking) runs inside the same
+program, keeping the host path IO-only.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from emoasr_tpu.config import ExpConfig
+from emoasr_tpu.ops.specaug import spec_augment
+from emoasr_tpu.train.optim import finite_or_zero, make_lr_fn, scale_updates
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray  # optimizer step count (int32)
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    epoch_scale: jnp.ndarray  # cumulative epdecay factor (float32)
+    skipped: jnp.ndarray  # NaN-skipped step count (int32)
+
+
+def init_train_state(params, batch_stats, tx) -> TrainState:
+    return TrainState(
+        step=jnp.int32(0),
+        params=params,
+        batch_stats=batch_stats or {},
+        opt_state=tx.init(params),
+        epoch_scale=jnp.float32(1.0),
+        skipped=jnp.int32(0),
+    )
+
+
+def preprocess(cfg: ExpConfig, xs, xlens, rng, train: bool):
+    """On-device SpecAugment + frame stacking (reference order:
+    spec_augment.py applied before _stack_frames, datasets.py:94-101)."""
+    if train and cfg.spec_augment:
+        xs = spec_augment(
+            rng, xs, xlens,
+            max_mask_freq=cfg.max_mask_freq,
+            num_masks_freq=cfg.num_masks_freq,
+            max_mask_time=cfg.max_mask_time,
+            num_masks_time=cfg.num_masks_time,
+            max_mask_time_ratio=cfg.max_mask_time_ratio,
+            num_masks_time_ratio=cfg.num_masks_time_ratio,
+            replace_with_zero=cfg.replace_with_zero,
+        )
+    n = cfg.num_framestacks
+    if n > 1:
+        B, T, F = xs.shape
+        xs = xs[:, : (T // n) * n].reshape(B, T // n, F * n)
+        xlens = xlens // n
+    return xs, xlens
+
+
+def make_train_step(
+    model, cfg: ExpConfig, tx, num_total_steps: Optional[int] = None,
+    mesh=None,
+) -> Callable:
+    """Build the jitted train step.
+
+    Returns step_fn(state, batch, rng) -> (state, metrics).
+    batch: dict with xs/xlens/ys/ylens/ys_in/ys_out (+ps/plens/soft_labels).
+    """
+    lr_fn = make_lr_fn(cfg, num_total_steps)
+
+    def step_fn(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
+        sa_rng, do_rng = jax.random.split(rng)
+        xs, xlens = preprocess(cfg, batch["xs"], batch["xlens"], sa_rng, True)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            mutable = False
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out = model.apply(
+                variables,
+                xs, xlens, batch["ys"], batch["ylens"],
+                batch["ys_in"], batch["ys_out"],
+                batch.get("soft_labels"), batch.get("ps"), batch.get("plens"),
+                deterministic=False,
+                rngs={"dropout": do_rng},
+                mutable=mutable,
+            )
+            if mutable:
+                (loss, loss_dict), updates = out
+                return loss, (loss_dict, updates.get("batch_stats", {}))
+            loss, loss_dict = out
+            return loss, (loss_dict, {})
+
+        (loss, (loss_dict, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        grads, finite = finite_or_zero(grads)
+        new_step = state.step + 1
+        # with grad accumulation, the reference's scheduler counts optimizer
+        # updates (one per accum_grad micro-steps, train_asr.py:106-121)
+        opt_step = (new_step + cfg.accum_grad - 1) // cfg.accum_grad
+        lr = lr_fn(opt_step, state.epoch_scale)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = scale_updates(updates, lr)
+        new_params = optax.apply_updates(state.params, updates)
+
+        # NaN-skip: keep old params/opt_state when grads were non-finite
+        # (train_asr.py:83-90); the step counter still advances, matching
+        # the reference's scheduler (its optimizer.step is skipped but the
+        # loop continues).
+        new_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old),
+            new_params, state.params,
+        )
+        new_opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old),
+            new_opt_state, state.opt_state,
+        )
+        new_stats = new_stats if new_stats else state.batch_stats
+
+        metrics = dict(loss_dict)
+        metrics["lr"] = lr
+        metrics["grad_finite"] = finite
+        state = state.replace(
+            step=new_step,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            skipped=state.skipped + jnp.where(finite, 0, 1),
+        )
+        return state, metrics
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(mesh.axis_names[0]))
+        return jax.jit(
+            step_fn,
+            in_shardings=(repl, data, repl),
+            out_shardings=(repl, repl),
+        )
+    return jax.jit(step_fn)
+
+
+def make_eval_loss_step(model, cfg: ExpConfig, mesh=None) -> Callable:
+    """Validation loss (no specaug, deterministic)."""
+
+    def step_fn(state: TrainState, batch: Dict) -> Dict:
+        xs, xlens = preprocess(cfg, batch["xs"], batch["xlens"], None, False)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        loss, loss_dict = model.apply(
+            variables,
+            xs, xlens, batch["ys"], batch["ylens"],
+            batch["ys_in"], batch["ys_out"],
+            batch.get("soft_labels"), batch.get("ps"), batch.get("plens"),
+            deterministic=True,
+        )
+        return loss_dict
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(mesh.axis_names[0]))
+        return jax.jit(step_fn, in_shardings=(repl, data), out_shardings=repl)
+    return jax.jit(step_fn)
