@@ -150,10 +150,17 @@ class ExpConfig:
     electra_disc_weight: float = 50.0
     num_to_mask: int = 0
     random_num_to_mask: bool = False
-    insert_poisson_lam: float = 0.0  # deletable PC-MLM <mask> insertion
+    mask_proportion: float = 0.0
+    mask_insert_poisson_lam: float = 0.0  # deletable PC-MLM <mask> insertion
     text_augment: bool = False
-    phone_mask_prob: float = 0.0
-    phone_sub_prob: float = 0.0
+    textaug_max_mask_prob: float = 0.0
+    textaug_max_replace_prob: float = 0.0
+    phone_mask_id: Optional[int] = None
+    dropout_rate: float = 0.0  # RNNLM inter-layer dropout
+    tie_weights: bool = False
+    weight_tying: bool = False
+    bucket_shuffle: bool = True
+    max_plens_batch: int = 20000
 
     # ---- decode ----
     beam_width: int = 0

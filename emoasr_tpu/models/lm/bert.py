@@ -1,0 +1,203 @@
+"""BERT-style post-norm transformer stack with a causal switch, plus
+BERT-MLM and ELECTRA generator/discriminator heads (flax.linen).
+
+The reference vendors ~6.8k LoC of trimmed HuggingFace transformers
+(`/root/reference/lm/modeling/transformers/`) with ONE local modification: a
+`causal=` flag threaded into the extended attention mask
+(`modeling_bert.py:734,793-795`) so the same BERT stack serves as both a
+masked LM and a causal (Transformer) LM.  This is a clean re-implementation
+of just the pieces emoASR uses, with the same architecture so reference
+checkpoints import:
+
+- embeddings = word + learned-position + token-type, LayerNorm eps=1e-12,
+  dropout (modeling_bert.py:159-205); ELECTRA variant uses `embedding_size`
+  with a projection to `hidden_size` (modeling_electra.py:240-330)
+- encoder layer = post-norm self-attention and FF-GELU blocks
+- MLM head = dense+gelu+LN transform, untied vocab decoder with bias
+  (modeling_bert.py:520-555)
+- ELECTRA generator head = dense->gelu->LN at embedding_size + lm head;
+  discriminator head = dense->act->dense(1) (modeling_electra.py:128-161),
+  BCE over non-pad positions (modeling_electra.py:527-535)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from emoasr_tpu.models.layers import NEG_INF, make_causal_mask, make_pad_mask
+
+
+class BertSelfAttention(nn.Module):
+    num_heads: int
+    hidden_size: int
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        d_k = self.hidden_size // self.num_heads
+        B, L, _ = x.shape
+        q = nn.Dense(self.hidden_size, name="query")(x)
+        k = nn.Dense(self.hidden_size, name="key")(x)
+        v = nn.Dense(self.hidden_size, name="value")(x)
+        q = q.reshape(B, L, self.num_heads, d_k)
+        k = k.reshape(B, L, self.num_heads, d_k)
+        v = v.reshape(B, L, self.num_heads, d_k)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(d_k, x.dtype)
+        )
+        if mask is not None:
+            scores = jnp.where(mask, scores, NEG_INF)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(x.dtype)
+        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, self.hidden_size)
+        return out
+
+
+class BertLayer(nn.Module):
+    """Post-norm: LN(x + drop(proj(attn))), LN(x + drop(out(gelu(inter))))."""
+
+    num_heads: int
+    hidden_size: int
+    intermediate_size: int
+    dropout_rate: float = 0.1
+    attn_dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        drop = nn.Dropout(self.dropout_rate)
+        h = BertSelfAttention(
+            self.num_heads, self.hidden_size, self.attn_dropout_rate,
+            name="self_attn",
+        )(x, mask, deterministic)
+        h = nn.Dense(self.hidden_size, name="attn_output")(h)
+        x = nn.LayerNorm(epsilon=1e-12, name="attn_norm")(
+            x + drop(h, deterministic=deterministic)
+        )
+        h = nn.Dense(self.intermediate_size, name="intermediate")(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.hidden_size, name="output")(h)
+        x = nn.LayerNorm(epsilon=1e-12, name="output_norm")(
+            x + drop(h, deterministic=deterministic)
+        )
+        return x
+
+
+class BertStack(nn.Module):
+    """Embeddings + N post-norm layers; `causal` makes it a left-to-right LM.
+
+    `embedding_size` (ELECTRA) adds a projection when != hidden_size.
+    """
+
+    vocab_size: int
+    hidden_size: int
+    num_layers: int
+    num_heads: int
+    intermediate_size: int
+    max_seq_len: int = 512
+    type_vocab_size: int = 2
+    dropout_rate: float = 0.1
+    attn_dropout_rate: float = 0.1
+    embedding_size: Optional[int] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        ys,
+        ylens: Optional[jnp.ndarray] = None,
+        causal: bool = False,
+        deterministic: bool = True,
+    ):
+        B, L = ys.shape
+        E = self.embedding_size or self.hidden_size
+        emb = nn.Embed(self.vocab_size, E, name="word_embeddings")(
+            ys.astype(jnp.int32)
+        )
+        pos = nn.Embed(self.max_seq_len, E, name="position_embeddings")(
+            jnp.arange(L)[None, :].astype(jnp.int32)
+        )
+        tok = nn.Embed(self.type_vocab_size, E, name="token_type_embeddings")(
+            jnp.zeros((B, L), jnp.int32)
+        )
+        h = emb + pos + tok
+        h = nn.LayerNorm(epsilon=1e-12, name="emb_norm")(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        if E != self.hidden_size:
+            h = nn.Dense(self.hidden_size, name="embeddings_project")(h)
+
+        mask = None
+        if ylens is not None:
+            mask = make_pad_mask(ylens, L)[:, None, None, :]
+        if causal:
+            cm = make_causal_mask(L)[None, None, :, :]
+            mask = cm if mask is None else (mask & cm)
+
+        for i in range(self.num_layers):
+            h = BertLayer(
+                self.num_heads, self.hidden_size, self.intermediate_size,
+                self.dropout_rate, self.attn_dropout_rate, name=f"layers_{i}",
+            )(h, mask, deterministic)
+        return h
+
+
+class BertMLMHead(nn.Module):
+    """transform(dense+gelu+LN) -> untied decoder with bias."""
+
+    hidden_size: int
+    vocab_size: int
+
+    @nn.compact
+    def __call__(self, h):
+        h = nn.Dense(self.hidden_size, name="transform_dense")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.LayerNorm(epsilon=1e-12, name="transform_norm")(h)
+        return nn.Dense(self.vocab_size, name="decoder")(h)
+
+
+class ElectraGeneratorHead(nn.Module):
+    embedding_size: int
+    vocab_size: int
+
+    @nn.compact
+    def __call__(self, h):
+        h = nn.Dense(self.embedding_size, name="dense")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.LayerNorm(epsilon=1e-12, name="norm")(h)
+        return nn.Dense(self.vocab_size, name="lm_head")(h)
+
+
+class ElectraDiscriminatorHead(nn.Module):
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, h):
+        x = nn.Dense(self.hidden_size, name="dense")(h)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(1, name="dense_prediction")(x)[..., 0]
+
+
+def mlm_loss(logits, labels, ignore_id: int = -100):
+    """Mean CE over labels != ignore_id (torch CrossEntropyLoss default)."""
+    V = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+    valid = labels != ignore_id
+    tgt = jax.nn.one_hot(jnp.where(valid, labels, 0), V)
+    ce = -jnp.sum(logp * tgt, axis=-1)
+    return jnp.sum(jnp.where(valid, ce, 0.0)) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def disc_bce_loss(logits, labels, ylens=None):
+    """BCE-with-logits over non-pad positions (modeling_electra.py:527-535)."""
+    logp = jax.nn.log_sigmoid(logits.astype(jnp.float32))
+    logq = jax.nn.log_sigmoid(-logits.astype(jnp.float32))
+    lab = labels.astype(jnp.float32)
+    bce = -(lab * logp + (1.0 - lab) * logq)
+    if ylens is None:
+        return jnp.mean(bce)
+    valid = make_pad_mask(ylens, logits.shape[1])
+    return jnp.sum(jnp.where(valid, bce, 0.0)) / jnp.maximum(
+        jnp.sum(valid), 1
+    )

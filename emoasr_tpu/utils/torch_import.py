@@ -274,6 +274,94 @@ def asr_model(sd: SD, cfg) -> Tuple[dict, dict]:
     return {"encoder": enc, "decoder": dec}, stats
 
 
+# ---------------------------------------------------------------------------
+# LM family (vendored-HF BERT / ELECTRA naming)
+# ---------------------------------------------------------------------------
+
+
+def bert_layer_hf(sd: SD, p: str) -> dict:
+    """One `encoder.layer.{i}` subtree -> emoasr_tpu BertLayer params."""
+    return {
+        "self_attn": {
+            "query": dense(sd, f"{p}.attention.self.query"),
+            "key": dense(sd, f"{p}.attention.self.key"),
+            "value": dense(sd, f"{p}.attention.self.value"),
+        },
+        "attn_output": dense(sd, f"{p}.attention.output.dense"),
+        "attn_norm": layer_norm(sd, f"{p}.attention.output.LayerNorm"),
+        "intermediate": dense(sd, f"{p}.intermediate.dense"),
+        "output": dense(sd, f"{p}.output.dense"),
+        "output_norm": layer_norm(sd, f"{p}.output.LayerNorm"),
+    }
+
+
+def bert_stack_hf(sd: SD, num_layers: int, prefix: str) -> dict:
+    """`bert.` / `electra.` model subtree -> BertStack params."""
+    P = lambda s: f"{prefix}{s}"
+    params = {
+        "word_embeddings": embed(sd, P("embeddings.word_embeddings")),
+        "position_embeddings": embed(sd, P("embeddings.position_embeddings")),
+        "token_type_embeddings": embed(sd, P("embeddings.token_type_embeddings")),
+        "emb_norm": layer_norm(sd, P("embeddings.LayerNorm")),
+    }
+    if f"{prefix}embeddings_project.weight" in sd:
+        params["embeddings_project"] = dense(sd, P("embeddings_project"))
+    for i in range(num_layers):
+        params[f"layers_{i}"] = bert_layer_hf(sd, P(f"encoder.layer.{i}"))
+    return params
+
+
+def bert_mlm_head_hf(sd: SD, prefix: str = "cls.predictions") -> dict:
+    return {
+        "transform_dense": dense(sd, f"{prefix}.transform.dense"),
+        "transform_norm": layer_norm(sd, f"{prefix}.transform.LayerNorm"),
+        "decoder": {
+            "kernel": sd[f"{prefix}.decoder.weight"].T,
+            "bias": sd[f"{prefix}.bias"],
+        },
+    }
+
+
+def bert_masked_lm(sd: SD, num_layers: int, prefix: str = "") -> dict:
+    """`BertForMaskedLM` (used by both TransformerLM and BERTMaskedLM
+    wrappers; the causal flag is runtime-only)."""
+    return {
+        "stack": bert_stack_hf(sd, num_layers, f"{prefix}bert."),
+        "head": bert_mlm_head_hf(sd, f"{prefix}cls.predictions"),
+    }
+
+
+def electra_model(sd: SD, gen_layers: int, disc_layers: int, prefix: str = "") -> dict:
+    """`ELECTRAModel` (gmodel=ElectraForMaskedLM + dmodel=ElectraForPreTraining)."""
+    P = lambda s: f"{prefix}{s}"
+    return {
+        "gstack": bert_stack_hf(sd, gen_layers, P("gmodel.electra.")),
+        "ghead": {
+            "dense": dense(sd, P("gmodel.generator_predictions.dense")),
+            "norm": layer_norm(sd, P("gmodel.generator_predictions.LayerNorm")),
+            "lm_head": dense(sd, P("gmodel.generator_lm_head")),
+        },
+        "dstack": bert_stack_hf(sd, disc_layers, P("dmodel.electra.")),
+        "dhead": {
+            "dense": dense(sd, P("dmodel.discriminator_predictions.dense")),
+            "dense_prediction": dense(
+                sd, P("dmodel.discriminator_predictions.dense_prediction")
+            ),
+        },
+    }
+
+
+def rnnlm(sd: SD, num_layers: int, prefix: str = "") -> dict:
+    P = lambda s: f"{prefix}{s}"
+    return {
+        "embed": embed(sd, P("embed")),
+        "rnns": {
+            f"layer{i}": lstm(sd, P("rnns"), f"_l{i}") for i in range(num_layers)
+        },
+        "output": dense(sd, P("output")),
+    }
+
+
 def load_state_dict_np(path: str) -> SD:
     """Load a torch checkpoint into numpy arrays (CPU)."""
     import torch
