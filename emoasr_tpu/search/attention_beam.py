@@ -1,0 +1,260 @@
+"""Batched label-synchronous beam search for attention decoders, with joint
+CTC prefix scoring, LM shallow fusion, and length penalty.
+
+Parity target: `TransformerDecoder.decode`
+(`/root/reference/asr/modeling/decoders/transformer.py:160-294`):
+- per step: full-prefix one-step forward, log-softmax scores
+- optional LM fusion added BEFORE candidate pre-selection
+- optional joint CTC: pre-select ctc_beam_width = 1.5x beam candidates by
+  (att + lm), re-score with (1-w)*att + w*(ctc prefix delta) + lm
+- global prune to beam_width; beams ending in <eos> are finalized with a
+  `len_weight * |hyp|` bonus ("only <eos>" hyps rejected); search stops once
+  beam_width results exist (here: per-batch-row freeze inside one
+  `lax.while_loop` over label steps).
+
+The reference decodes batch-size-1 with host Python; this runs the whole
+batch and all beams in one jitted loop.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from emoasr_tpu.search.common import DEAD, LMFusion, gather_beams
+from emoasr_tpu.search.ctc_prefix_score import (
+    ctc_prefix_initial_state,
+    ctc_prefix_score_step,
+)
+
+CTC_BEAM_WIDTH_RATIO = 1.5  # transformer.py:22
+
+
+class _State(NamedTuple):
+    step: jnp.ndarray
+    hyps: jnp.ndarray  # (B, W, Lmax), leading eos
+    lens: jnp.ndarray  # (B, W)
+    scores: jnp.ndarray  # (B, W)
+    score_ctc: jnp.ndarray  # (B, W)
+    ctc_state: Optional[jnp.ndarray]  # (B, W, T, 2)
+    lm_states: Optional[jnp.ndarray]
+    res_hyps: jnp.ndarray  # (B, W, Lmax)
+    res_lens: jnp.ndarray  # (B, W)
+    res_scores: jnp.ndarray  # (B, W)
+    res_count: jnp.ndarray  # (B,)
+
+
+def attention_beam_search(
+    eouts: jnp.ndarray,
+    elens: jnp.ndarray,
+    step_fn: Callable,
+    vocab_size: int,
+    beam_width: int,
+    eos_id: int = 2,
+    blank_id: int = 0,
+    len_weight: float = 0.0,
+    lm: Optional[LMFusion] = None,
+    decode_ctc_weight: float = 0.0,
+    ctc_log_probs: Optional[jnp.ndarray] = None,
+    max_decode_ylen: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Label-sync beam search over a batch.
+
+    step_fn(flat_hyps (N, Lmax), flat_lens (N,), eouts_rep (N, T, E),
+            elens_rep (N,)) -> logits (N, V): one-step decoder forward.
+    Returns (hyps (B, W, Lmax) WITHOUT eos framing trimmed — leading eos
+    kept, internal eos possible — lens, scores), results best-first.
+    """
+    B, T, E = eouts.shape
+    W = beam_width
+    V = vocab_size
+    Lmax = max_decode_ylen + 2
+    use_ctc = decode_ctc_weight > 0
+    K2 = min(V, int(W * CTC_BEAM_WIDTH_RATIO)) if use_ctc else W
+    lm_weight = lm.weight if lm is not None else 0.0
+
+    hyps0 = jnp.full((B, W, Lmax), eos_id, jnp.int32)
+    state = _State(
+        step=jnp.int32(0),
+        hyps=hyps0,
+        lens=jnp.ones((B, W), jnp.int32),
+        scores=jnp.where(jnp.arange(W)[None, :] == 0, 0.0, DEAD)
+        .astype(jnp.float32).repeat(B, 0).reshape(B, W),
+        score_ctc=jnp.zeros((B, W), jnp.float32),
+        ctc_state=(
+            ctc_prefix_initial_state(ctc_log_probs, elens, blank_id, W)
+            if use_ctc
+            else None
+        ),
+        lm_states=lm.init_states(B, W) if lm is not None else None,
+        res_hyps=hyps0,
+        res_lens=jnp.zeros((B, W), jnp.int32),
+        res_scores=jnp.full((B, W), DEAD, jnp.float32),
+        res_count=jnp.zeros((B,), jnp.int32),
+    )
+
+    eouts_rep = jnp.broadcast_to(eouts[:, None], (B, W, T, E)).reshape(
+        B * W, T, E
+    )
+    elens_rep = jnp.broadcast_to(elens[:, None], (B, W)).reshape(B * W)
+    b_idx = jnp.arange(B)[:, None]
+    w_idx = jnp.arange(W)[None, :]
+
+    def cond(state: _State):
+        active = (state.scores > DEAD / 2).any(axis=1)
+        running = active & (state.res_count < W)
+        return (state.step < max_decode_ylen) & running.any()
+
+    def body(state: _State):
+        alive = state.scores > DEAD / 2  # (B, W)
+        row_active = alive.any(axis=1) & (state.res_count < W)  # (B,)
+
+        flat_hyps = state.hyps.reshape(B * W, Lmax)
+        flat_lens = jnp.maximum(state.lens.reshape(B * W), 1)
+        logits = step_fn(flat_hyps, flat_lens, eouts_rep, elens_rep)
+        scores_att = jax.nn.log_softmax(
+            logits.astype(jnp.float32), -1
+        ).reshape(B, W, V)
+
+        if lm is not None:
+            lm_logp, new_lm_states = lm.predict_beams(
+                state.hyps, state.lens, state.lm_states
+            )
+            lm_logp = lm_logp[:, :, :V]
+            scores_pre = scores_att + lm_weight * lm_logp
+        else:
+            lm_logp, new_lm_states = None, None
+            scores_pre = scores_att
+
+        if use_ctc:
+            # pre-select K2 candidates by att(+lm) (transformer.py:222-232)
+            pre_sc, v_topb = jax.lax.top_k(scores_pre, K2)  # (B, W, K2)
+            psi, ctc_state_new = ctc_prefix_score_step(
+                ctc_log_probs, elens, state.hyps, state.lens, v_topb,
+                state.ctc_state, blank_id, eos_id,
+            )
+            att_v = jnp.take_along_axis(scores_att, v_topb, axis=2)
+            cand = (
+                (1 - decode_ctc_weight) * att_v
+                + decode_ctc_weight * (psi - state.score_ctc[:, :, None])
+            )
+            if lm is not None:
+                cand = cand + lm_weight * jnp.take_along_axis(
+                    lm_logp, v_topb, axis=2
+                )
+            # per-parent top-W among the K2 (reference then pools W*W)
+            sel_sc, sel_i = jax.lax.top_k(cand, W)  # (B, W, W)
+            sel_tok = jnp.take_along_axis(v_topb, sel_i, axis=2)
+            sel_psi = jnp.take_along_axis(psi, sel_i, axis=2)
+        else:
+            sel_sc, sel_tok = jax.lax.top_k(scores_pre, W)  # (B, W, W)
+            sel_psi = None
+            ctc_state_new = None
+
+        K = W
+        pool_sc = jnp.where(
+            alive[:, :, None], state.scores[:, :, None] + sel_sc, DEAD
+        ).reshape(B, W * K)
+        top_sc, top_idx = jax.lax.top_k(pool_sc, W)  # (B, W)
+        parent = top_idx // K
+
+        new_hyps = gather_beams(state.hyps, parent)
+        tok = jnp.take_along_axis(sel_tok.reshape(B, W * K), top_idx, axis=1)
+        new_lens = jnp.take_along_axis(state.lens, parent, axis=1) + 1
+        pos = jnp.minimum(new_lens - 1, Lmax - 1)
+        new_hyps = new_hyps.at[b_idx, w_idx, pos].set(tok)
+
+        new_score_ctc = state.score_ctc
+        new_ctc_state = state.ctc_state
+        if use_ctc:
+            new_score_ctc = jnp.take_along_axis(
+                sel_psi.reshape(B, W * K), top_idx, axis=1
+            )
+            # gather candidate CTC states: (B, W, K2, T, 2) by parent + cand
+            ci = jnp.take_along_axis(sel_i.reshape(B, W * K), top_idx, axis=1)
+            st_parent = gather_beams(ctc_state_new, parent)  # (B, W, K2, T, 2)
+            new_ctc_state = jnp.take_along_axis(
+                st_parent, ci[:, :, None, None, None], axis=2
+            )[:, :, 0]
+
+        new_lm_states_sel = (
+            gather_beams(new_lm_states, parent) if lm is not None else None
+        )
+
+        valid_new = top_sc > DEAD / 2
+
+        # ---- finalize beams that just emitted eos ----
+        ended = (tok == eos_id) & valid_new  # (B, W)
+        # "only <eos>" (len_noeos < 1) hyps are rejected outright
+        acceptable = ended & (new_lens > 2)
+        final_score = top_sc + len_weight * new_lens.astype(jnp.float32)
+
+        # append accepted beams (already in descending score order) into
+        # result slots while capacity remains
+        offset = jnp.cumsum(acceptable.astype(jnp.int32), axis=1) - 1
+        slot = state.res_count[:, None] + offset  # (B, W)
+        can_store = acceptable & (slot < W) & row_active[:, None]
+        slot_c = jnp.where(can_store, slot, W)  # W = scratch slot
+        res_hyps = jnp.concatenate(
+            [state.res_hyps, jnp.zeros((B, 1, Lmax), jnp.int32)], axis=1
+        )
+        res_hyps = res_hyps.at[b_idx, slot_c].set(
+            jnp.where(can_store[:, :, None], new_hyps, res_hyps[b_idx, slot_c])
+        )[:, :W]
+        res_lens = jnp.concatenate(
+            [state.res_lens, jnp.zeros((B, 1), jnp.int32)], axis=1
+        )
+        res_lens = res_lens.at[b_idx, slot_c].set(
+            jnp.where(can_store, new_lens, res_lens[b_idx, slot_c])
+        )[:, :W]
+        res_scores = jnp.concatenate(
+            [state.res_scores, jnp.zeros((B, 1), jnp.float32)], axis=1
+        )
+        res_scores = res_scores.at[b_idx, slot_c].set(
+            jnp.where(can_store, final_score, res_scores[b_idx, slot_c])
+        )[:, :W]
+        res_count = state.res_count + jnp.sum(can_store, axis=1)
+
+        # ended (accepted or rejected) beams leave the active set
+        cont_scores = jnp.where(ended | ~valid_new, DEAD, top_sc)
+
+        new_state = _State(
+            step=state.step + 1,
+            hyps=new_hyps,
+            lens=new_lens,
+            scores=cont_scores,
+            score_ctc=new_score_ctc,
+            ctc_state=new_ctc_state,
+            lm_states=new_lm_states_sel,
+            res_hyps=res_hyps,
+            res_lens=res_lens,
+            res_scores=res_scores,
+            res_count=res_count,
+        )
+
+        # freeze finished batch rows
+        def pick(n, o):
+            if n is None:
+                return None
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    row_active.reshape((B,) + (1,) * (a.ndim - 1)), a, b
+                ),
+                n, o,
+            )
+
+        return _State(
+            state.step + 1,
+            *[pick(n, o) for n, o in zip(new_state[1:], state[1:])],
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+
+    order = jnp.argsort(-state.res_scores, axis=1)
+    return (
+        gather_beams(state.res_hyps, order),
+        jnp.take_along_axis(state.res_lens, order, axis=1),
+        jnp.take_along_axis(state.res_scores, order, axis=1),
+    )

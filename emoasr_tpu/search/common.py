@@ -1,0 +1,109 @@
+"""Shared machinery for batched, jitted beam search.
+
+The reference decodes utterance-by-utterance with Python dict beams
+(`asr/modeling/decoders/ctc.py:203-344`, `transformer.py:161-294`,
+`rnn_transducer.py:242-325`).  Here every search is a fixed-beam-width
+`lax.scan`/`while_loop` over a (B, W) beam tensor — the source of the
+framework's RTF advantage.
+
+Hypothesis identity for path merging uses a pair of incremental 32-bit
+polynomial hashes instead of exact string compare (the reference uses dict
+keys): collision probability is ~2^-64 per candidate pair, negligible
+against ASR error rates, and it keeps the merge O(C^2) in scalars rather
+than O(C^2 * L) in tokens.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from emoasr_tpu.ops.common import LOG_0
+
+DEAD = -1e30  # score of dead/pruned beam slots
+
+HASH_P1 = jnp.uint32(1000003)
+HASH_P2 = jnp.uint32(0x01000193)  # FNV prime
+
+
+def hash_init(shape) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return (
+        jnp.full(shape, 17, jnp.uint32),
+        jnp.full(shape, 2166136261, jnp.uint32),
+    )
+
+
+def hash_extend(h: Tuple[jnp.ndarray, jnp.ndarray], token: jnp.ndarray):
+    t = token.astype(jnp.uint32)
+    return (h[0] * HASH_P1 + t + 1, (h[1] ^ (t + 1)) * HASH_P2)
+
+
+class LMFusion(NamedTuple):
+    """Adapter bundling an LM for in-loop shallow fusion over (B, W) beams.
+
+    predict_beams(hyps (B,W,L), lens (B,W), states) -> (logp (B,W,V), states)
+    init_states(B, W) -> states pytree with (B, W, ...) leaves, or None.
+    """
+
+    predict_beams: Callable
+    init_states: Callable
+    weight: float
+
+
+def make_lm_fusion(lm_model, lm_variables, weight: float) -> LMFusion:
+    """Build an LMFusion from an LM module (facade or inner wrapper).
+
+    Stateful RNNLM states (layers, 2, N, H) are kept beam-major
+    (B, W, layers, 2, H) inside the search so standard beam gathers apply.
+    """
+    is_rnn = getattr(lm_model, "cfg", None) is not None and (
+        lm_model.cfg.lm_type == "rnn"
+    )
+
+    def predict_beams(hyps, lens, states):
+        B, W, L = hyps.shape
+        flat = hyps.reshape(B * W, L)
+        fl = lens.reshape(B * W)
+        lm_states = None
+        if states is not None:
+            # (B, W, layers, 2, H) -> (layers, 2, B*W, H)
+            lm_states = states.reshape((B * W,) + states.shape[2:]).transpose(
+                1, 2, 0, 3
+            )
+        logp, new_states = lm_model.apply(
+            lm_variables, flat, fl, lm_states, method=type(lm_model).predict
+        )
+        out_states = None
+        if new_states is not None:
+            out_states = new_states.transpose(2, 0, 1, 3).reshape(
+                (B, W) + new_states.shape[:2] + new_states.shape[3:]
+            )
+        return logp.reshape(B, W, -1), out_states
+
+    def init_states(B, W):
+        if not is_rnn:
+            return None
+        st = lm_model.apply(
+            lm_variables, B * W, method=type(lm_model).zero_states
+        )  # (layers, 2, B*W, H)
+        return st.transpose(2, 0, 1, 3).reshape(
+            (B, W) + st.shape[:2] + st.shape[3:]
+        )
+
+    return LMFusion(predict_beams, init_states, weight)
+
+
+def gather_beams(tree: Any, idx: jnp.ndarray):
+    """Gather pytree leaves shaped (B, W, ...) with (B, W') indices along
+    the beam axis (axis 1).  None passes through."""
+    if tree is None:
+        return None
+
+    def gather(x):
+        return jnp.take_along_axis(
+            x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1
+        )
+
+    return jax.tree_util.tree_map(gather, tree)

@@ -1,0 +1,161 @@
+"""Label-sync attention beam search vs the reference TransformerDecoder.decode
+(batch-1 host implementation), with and without joint CTC prefix scoring."""
+
+import sys
+from collections import namedtuple
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from emoasr_tpu.config import config_from_dict
+from emoasr_tpu.models.decoders.transformer import TransformerDecoder
+from emoasr_tpu.models.layers import make_pad_mask
+from emoasr_tpu.search.attention_beam import attention_beam_search
+from emoasr_tpu.utils import torch_import as ti
+
+sys.path.insert(0, "/root/reference")
+
+V = 20
+CFG = dict(
+    vocab_size=V,
+    dec_hidden_size=16,
+    dec_num_attention_heads=2,
+    dec_num_layers=1,
+    dec_intermediate_size=32,
+    dropout_dec_rate=0.0,
+    dropout_attn_rate=0.0,
+    enc_hidden_size=16,
+    lsm_prob=0.0,
+    eos_id=2,
+    blank_id=0,
+    max_decode_ylen=12,
+    mtl_ctc_weight=0.3,  # gives the reference decoder its ctc head
+)
+
+
+def _ref_decoder(seed):
+    from asr.modeling.decoders.transformer import (
+        TransformerDecoder as RefDec,
+    )
+
+    P = namedtuple(
+        "P",
+        "vocab_size dec_hidden_size dec_num_attention_heads dec_num_layers "
+        "dec_intermediate_size dropout_dec_rate dropout_attn_rate "
+        "enc_hidden_size lsm_prob eos_id blank_id max_decode_ylen "
+        "mtl_ctc_weight loss_normalize_length loss_normalize_batch kd_weight "
+        "mtl_phone_ctc_weight mtl_inter_ctc_weight",
+    )
+    torch.manual_seed(seed)
+    dec = RefDec(
+        P(
+            V, 16, 2, 1, 32, 0.0, 0.0, 16, 0.0, 2, 0, 12, 0.3,
+            False, True, 0, 0, 0,
+        )
+    ).eval()
+    return dec
+
+
+def _mine_from_ref(dec):
+    sd = {k: v.numpy() for k, v in dec.state_dict().items()}
+    cfg = config_from_dict(CFG)
+    mine = TransformerDecoder(cfg)
+    params = ti.transformer_decoder(sd, 1)
+    return mine, {"params": params}, cfg
+
+
+@pytest.mark.parametrize(
+    "seed,ctc_w,len_w", [(0, 0.0, 0.0), (5, 0.0, 0.3), (2, 0.3, 0.0)]
+)
+def test_attention_beam_matches_reference(seed, ctc_w, len_w):
+    dec = _ref_decoder(seed)
+    # bias toward <eos> so random decoders actually finalize hypotheses
+    with torch.no_grad():
+        dec.output.bias[2] += 1.0
+    mine, variables, cfg = _mine_from_ref(dec)
+
+    rng = np.random.default_rng(seed)
+    T = 14
+    eouts = rng.normal(size=(1, T, 16)).astype(np.float32)
+    elens_t = torch.tensor([T])
+
+    with torch.no_grad():
+        ref_hyps, ref_scores, _, _ = dec.decode(
+            torch.tensor(eouts), elens_t, beam_width=3, len_weight=len_w,
+            decode_ctc_weight=ctc_w,
+        )
+
+    eouts_j = jnp.asarray(eouts)
+    elens_j = jnp.asarray([T])
+    Emask_T = T
+
+    def step_fn(h, l, eo, el):
+        emask = make_pad_mask(el, Emask_T)[:, None, None, :]
+        return mine.apply(
+            variables, h, l, eo, emask,
+            method=TransformerDecoder.forward_one_step,
+        )
+
+    ctc_lp = None
+    if ctc_w > 0:
+        logits_ctc = mine.apply(
+            variables, eouts_j,
+            method=lambda m, e: m.ctc.logits(e),
+        )
+        ctc_lp = jax.nn.log_softmax(logits_ctc.astype(jnp.float32), -1)
+
+    hyps, lens, scores = attention_beam_search(
+        eouts_j, elens_j, step_fn, vocab_size=V, beam_width=3,
+        len_weight=len_w, decode_ctc_weight=ctc_w, ctc_log_probs=ctc_lp,
+        max_decode_ylen=12,
+    )
+    hyps, lens, scores = map(np.asarray, (hyps, lens, scores))
+
+    # reference hyps are eos-stripped; ours carry leading + trailing eos
+    got = []
+    for w in range(3):
+        h = hyps[0, w, : lens[0, w]].tolist()
+        got.append([t for t in h if t != 2])
+    n_ref = len(ref_hyps)
+    assert n_ref > 0
+    assert got[:n_ref] == [list(map(int, h)) for h in ref_hyps], (
+        got, ref_hyps
+    )
+    np.testing.assert_allclose(
+        scores[0, :n_ref], np.asarray(ref_scores, np.float32), rtol=1e-3,
+        atol=1e-4,
+    )
+
+
+def test_attention_beam_batched_jit():
+    dec = _ref_decoder(5)
+    mine, variables, cfg = _mine_from_ref(dec)
+    rng = np.random.default_rng(5)
+    B, T = 3, 7
+    eouts = jnp.asarray(rng.normal(size=(B, T, 16)).astype(np.float32))
+    elens = jnp.array([7, 5, 4])
+
+    def step_fn(h, l, eo, el):
+        emask = make_pad_mask(el, T)[:, None, None, :]
+        return mine.apply(
+            variables, h, l, eo, emask,
+            method=TransformerDecoder.forward_one_step,
+        )
+
+    f = jax.jit(
+        lambda eo, el: attention_beam_search(
+            eo, el, step_fn, vocab_size=V, beam_width=3, len_weight=0.1,
+            max_decode_ylen=12,
+        )
+    )
+    hyps, lens, scores = f(eouts, elens)
+    assert hyps.shape[:2] == (B, 3)
+    # batch-row consistency
+    h1, l1, s1 = f(eouts[1:2], elens[1:2])
+    np.testing.assert_allclose(
+        np.asarray(s1)[0, 0], np.asarray(scores)[1, 0], rtol=1e-5
+    )

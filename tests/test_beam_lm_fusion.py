@@ -1,0 +1,135 @@
+"""CTC prefix beam with RNNLM shallow fusion vs a host oracle.
+
+The oracle transcribes the reference algorithm (ctc.py:203-344) with the
+documented fix: each candidate's score_lm adds exactly its own token's LM
+log-prob (the reference accumulates across a parent's top-k candidates
+in-place, ctc.py:309-310)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from emoasr_tpu.config import config_from_dict
+from emoasr_tpu.models.lm.lm import RNNLM
+from emoasr_tpu.search.common import LMFusion, make_lm_fusion
+from emoasr_tpu.search.ctc_beam import ctc_beam_search
+
+LOG_0 = -1e10
+
+
+def _oracle(lp, W, lm_predict, lm_w, len_w, eos=2, blank=0):
+    T, V = lp.shape
+    beams = [
+        dict(hyp=[eos], p_b=0.0, p_nb=LOG_0, score_asr=0.0, score_lm=0.0,
+             score_len=0.0, states=None)
+    ]
+    for t in range(T):
+        new_beams = []
+        v_top = np.argsort(-lp[t])[:W]
+
+        hyps = [b["hyp"] for b in beams]
+        lens = [len(h) for h in hyps]
+        states = [b["states"] for b in beams]
+        lm_logp, new_states = lm_predict(hyps, lens, states)
+
+        for bi, b in enumerate(beams):
+            hyp = b["hyp"]
+            # case 1
+            n_p_b = np.logaddexp(
+                b["p_b"] + lp[t, blank], b["p_nb"] + lp[t, blank]
+            )
+            n_p_nb = b["p_nb"] + lp[t, hyp[-1]] if len(hyp) > 1 else LOG_0
+            asr = np.logaddexp(n_p_b, n_p_nb)
+            new_beams.append(
+                dict(hyp=hyp, p_b=n_p_b, p_nb=n_p_nb, score_asr=asr,
+                     score_lm=b["score_lm"], score_len=b["score_len"],
+                     states=b["states"])
+            )
+            # case 2
+            for v in v_top:
+                if v == blank:
+                    continue
+                p_t = lp[t, v]
+                v_prev = hyp[-1] if len(hyp) > 1 else None
+                if v == v_prev:
+                    n_p_nb = b["p_b"] + p_t
+                else:
+                    n_p_nb = np.logaddexp(b["p_b"] + p_t, b["p_nb"] + p_t)
+                asr = n_p_nb
+                score_len = len_w * len([x for x in hyp if x != eos] + [v])
+                score_lm = b["score_lm"] + lm_w * lm_logp[bi][v]
+                new_beams.append(
+                    dict(hyp=hyp + [int(v)], p_b=LOG_0, p_nb=n_p_nb,
+                         score_asr=asr, score_lm=score_lm,
+                         score_len=score_len, states=new_states[bi])
+                )
+        # merge
+        merged = {}
+        for b in new_beams:
+            k = tuple(b["hyp"])
+            if k in merged:
+                m = merged[k]
+                m["p_b"] = np.logaddexp(m["p_b"], b["p_b"])
+                m["p_nb"] = np.logaddexp(m["p_nb"], b["p_nb"])
+                m["score_asr"] = np.logaddexp(m["score_asr"], b["score_asr"])
+            else:
+                merged[k] = b
+        beams = sorted(
+            merged.values(),
+            key=lambda x: x["score_asr"] + x["score_lm"] + x["score_len"],
+            reverse=True,
+        )[:W]
+    return beams
+
+
+def test_ctc_beam_rnnlm_fusion_matches_oracle():
+    V, W, T = 10, 3, 10
+    cfg = config_from_dict(
+        dict(lm_type="rnn", vocab_size=V, embedding_size=8, hidden_size=12,
+             num_layers=1, dropout_rate=0.0)
+    )
+    lm = RNNLM(cfg)
+    rng = np.random.default_rng(0)
+    variables = lm.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2), jnp.int32), jnp.array([2])
+    )
+
+    lp = np.asarray(
+        jax.nn.log_softmax(jnp.asarray(rng.normal(size=(T, V)) * 2), -1),
+        np.float32,
+    )
+
+    def lm_predict(hyps, lens, states):
+        out_lp, out_states = [], []
+        for h, l, s in zip(hyps, lens, states):
+            ys = jnp.asarray([h], jnp.int32)
+            st = s if s is not None else lm.apply(
+                variables, 1, method=RNNLM.zero_states
+            )
+            p, ns = lm.apply(
+                variables, ys, jnp.asarray([l]), st, method=RNNLM.predict
+            )
+            out_lp.append(np.asarray(p)[0])
+            out_states.append(ns)
+        return out_lp, out_states
+
+    oracle = _oracle(lp, W, lm_predict, lm_w=0.5, len_w=0.2)
+
+    fusion = make_lm_fusion(lm, variables, weight=0.5)
+    hyps, lens, scores = ctc_beam_search(
+        jnp.asarray(lp)[None], jnp.asarray([T]), beam_width=W,
+        len_weight=0.2, lm=fusion,
+    )
+    hyps, lens, scores = map(np.asarray, (hyps, lens, scores))
+    got = {
+        tuple(hyps[0, w, : lens[0, w]].tolist()): scores[0, w]
+        for w in range(W)
+    }
+    want = {
+        tuple(b["hyp"]): b["score_asr"] + b["score_lm"] + b["score_len"]
+        for b in oracle
+    }
+    assert set(got) == set(want), (got, want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-4, atol=1e-4)
