@@ -163,6 +163,8 @@ class ExpConfig:
     max_plens_batch: int = 20000
 
     # ---- decode ----
+    lm_conf: Optional[str] = None  # LM config path for shallow fusion
+    lm_path: Optional[str] = None  # LM checkpoint path
     beam_width: int = 0
     len_weight: float = 0.0
     decode_ctc_weight: float = 0.0

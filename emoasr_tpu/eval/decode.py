@@ -1,0 +1,148 @@
+"""Unified batched decoding front-end: greedy / beam for every decoder type.
+
+Replaces `ASR.decode` dispatch (`/root/reference/asr/modeling/asr.py:70-95`
+-> per-decoder `decode` methods) with jit-compiled batched search functions
+from `emoasr_tpu.search`.  One call decodes a whole padded bucket batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from emoasr_tpu.config import ExpConfig
+from emoasr_tpu.models.asr import ASR
+from emoasr_tpu.models.decoders.rnnt import RNNTDecoder
+from emoasr_tpu.models.decoders.transformer import TransformerDecoder
+from emoasr_tpu.models.layers import make_pad_mask
+from emoasr_tpu.search.attention_beam import attention_beam_search
+from emoasr_tpu.search.common import LMFusion
+from emoasr_tpu.search.ctc_beam import ctc_beam_search
+from emoasr_tpu.search.rnnt_beam import rnnt_beam_search
+from emoasr_tpu.train.step import preprocess
+
+
+def build_decode_fn(
+    model: ASR,
+    variables,
+    cfg: ExpConfig,
+    beam_width: int = 0,
+    len_weight: float = 0.0,
+    decode_ctc_weight: float = 0.0,
+    lm: Optional[LMFusion] = None,
+    decode_phone: bool = False,
+) -> Callable:
+    """Returns jitted fn(xs, xlens) -> (hyps, hyp_lens, scores).
+
+    hyps carry framing eos tokens for beam modes (host strips); greedy
+    returns collapsed label sequences directly with scores = None-like
+    zeros.
+    """
+
+    def encode(xs, xlens):
+        xs, xlens = preprocess(cfg, xs, xlens, None, False)
+        return model.apply(variables, xs, xlens, method=ASR.encode)
+
+    dec_type = cfg.decoder_type
+
+    if beam_width <= 1 or (dec_type == "rnn_transducer" and decode_ctc_weight == 1):
+        @jax.jit
+        def decode_greedy(xs, xlens):
+            xs, xlens = preprocess(cfg, xs, xlens, None, False)
+            hyps, hyp_lens, _, _ = model.apply(
+                variables, xs, xlens, decode_phone, method=ASR.decode_greedy
+            )
+            return hyps, hyp_lens, jnp.zeros(hyp_lens.shape, jnp.float32)
+
+        return decode_greedy
+
+    if dec_type == "ctc":
+        @jax.jit
+        def decode_ctc_beam(xs, xlens):
+            eouts, elens, eouts_inter = encode(xs, xlens)
+            if decode_phone and cfg.hie_mtl_phone:
+                eouts = eouts_inter
+            logits = model.apply(
+                variables, eouts,
+                method=lambda m, e: (
+                    m.decoder.phone_logits(e) if decode_phone
+                    else m.decoder.logits(e)
+                ),
+            )
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            return ctc_beam_search(
+                lp, elens, beam_width, cfg.blank_id, cfg.eos_id,
+                len_weight, lm,
+            )
+
+        return decode_ctc_beam
+
+    if dec_type == "rnn_transducer":
+        def rec(tok, ds):
+            d, s = model.apply(
+                variables, tok, ds,
+                method=lambda m, t, st: m.decoder.recurrency(t, st),
+            )
+            return d[:, 0], s
+
+        def joint(e, d):
+            return model.apply(
+                variables, e, d, method=lambda m, a, b: m.decoder.joint_step(a, b)
+            )
+
+        @jax.jit
+        def decode_rnnt_beam(xs, xlens):
+            eouts, elens, _ = encode(xs, xlens)
+            return rnnt_beam_search(
+                eouts, elens, rec, joint,
+                num_layers=cfg.dec_num_layers,
+                dec_hidden=cfg.dec_hidden_size,
+                beam_width=beam_width,
+                vocab_size=cfg.vocab_size,
+                blank_id=cfg.blank_id,
+                eos_id=cfg.eos_id,
+                max_hyp_len=cfg.max_decode_ylen + 1,
+                lm=lm,
+            )
+
+        return decode_rnnt_beam
+
+    if dec_type == "transformer":
+        @jax.jit
+        def decode_att_beam(xs, xlens):
+            eouts, elens, _ = encode(xs, xlens)
+            T = eouts.shape[1]
+
+            def step_fn(h, l, eo, el):
+                emask = make_pad_mask(el, T)[:, None, None, :]
+                return model.apply(
+                    variables, h, l, eo, emask,
+                    method=lambda m, *a: m.decoder.forward_one_step(*a),
+                )
+
+            ctc_lp = None
+            if decode_ctc_weight > 0:
+                ctc_logits = model.apply(
+                    variables, eouts, method=lambda m, e: m.decoder.ctc.logits(e)
+                )
+                ctc_lp = jax.nn.log_softmax(ctc_logits.astype(jnp.float32), -1)
+
+            return attention_beam_search(
+                eouts, elens, step_fn,
+                vocab_size=cfg.vocab_size,
+                beam_width=beam_width,
+                eos_id=cfg.eos_id,
+                blank_id=cfg.blank_id,
+                len_weight=len_weight,
+                lm=lm,
+                decode_ctc_weight=decode_ctc_weight,
+                ctc_log_probs=ctc_lp,
+                max_decode_ylen=cfg.max_decode_ylen,
+            )
+
+        return decode_att_beam
+
+    raise NotImplementedError(f"beam decode for {dec_type}")

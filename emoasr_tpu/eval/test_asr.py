@@ -1,0 +1,347 @@
+"""ASR evaluation CLI: batched decoding -> result TSV + WER (+ RTF mode).
+
+Parity target: `/root/reference/asr/test_asr.py` — same flags, result-file
+naming (`result_{data}_beam{W}_len{L}_ctc{C}_lm{M}{tag}_ep{E}.tsv`), WER
+comment stamped into the TSV, `test_main` returning
+(lm_weight, len_weight, wer, wer_info) for grid search, `--runtime` RTF mode
+using utt-id-embedded start/end times, `--nbest` output for rescoring, lazy
+checkpoint averaging for epoch ranges.
+
+TPU-first difference: decoding runs in bucket-padded BATCHES through the
+jitted searches (the reference decodes batch-size-1 on host) — this is
+where the >=20x RTF target is realized.
+
+Checkpoints: orbax directories (ours) or torch state_dict files (reference
+checkpoints, imported via utils.torch_import).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import re
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+
+import jax
+import jax.numpy as jnp
+
+from emoasr_tpu.config import ExpConfig, load_config
+from emoasr_tpu.data.asr_dataset import ASRDataset
+from emoasr_tpu.eval.decode import build_decode_fn
+from emoasr_tpu.eval.wer import compute_wers_df, wer_info_line
+from emoasr_tpu.models.asr import ASR
+from emoasr_tpu.models.lm.lm import LM
+from emoasr_tpu.search.common import make_lm_fusion
+from emoasr_tpu.train import checkpoint as ckpt
+from emoasr_tpu.utils import torch_import as ti
+from emoasr_tpu.utils.converters import ints2str, strip_eos
+from emoasr_tpu.utils.log import insert_comment, setup_logging
+from emoasr_tpu.utils.paths import (
+    REPO_ROOT,
+    get_model_path,
+    get_results_dir,
+    rel_to_abs_path,
+)
+from emoasr_tpu.utils.vocab import Vocab
+
+EVAL_TAGS = {
+    "test": "corpora/ted2/nsp10k/data/test.tsv",
+    "dev": "corpora/ted2/nsp10k/data/dev.tsv",
+    "test-clean": "corpora/libri/nsp10k/data/test_clean.tsv",
+    "test-other": "corpora/libri/nsp10k/data/test_other.tsv",
+    "dev-clean": "corpora/libri/nsp10k/data/dev_clean.tsv",
+    "dev-other": "corpora/libri/nsp10k/data/dev_other.tsv",
+    "eval1": "corpora/csj/nsp10k/data/eval1.tsv",
+    "eval2": "corpora/csj/nsp10k/data/eval2.tsv",
+    "eval3": "corpora/csj/nsp10k/data/eval3.tsv",
+    "csj-dev": "corpora/csj/nsp10k/data/dev.tsv",
+    "csj-dev500": "corpora/csj/nsp10k/data/dev_500.tsv",
+}
+
+
+def get_eval_path(tag: Optional[str]) -> Optional[str]:
+    if tag in EVAL_TAGS:
+        return os.path.join(REPO_ROOT, EVAL_TAGS[tag])
+    return tag
+
+
+def load_asr_variables(model_path: str, cfg: ExpConfig):
+    """Load an orbax dir (ours) or a torch state_dict file (reference)."""
+    if os.path.isdir(model_path):
+        tree = ckpt.load_model(model_path)
+        variables = {"params": tree["params"]}
+        if tree.get("batch_stats"):
+            variables["batch_stats"] = tree["batch_stats"]
+        return variables
+    sd = ti.load_state_dict_np(model_path)
+    params, stats = ti.asr_model(sd, cfg)
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    return variables
+
+
+def load_lm(lm_conf: str, lm_path: str):
+    lm_cfg = load_config(lm_conf)
+    lm_model = LM(lm_cfg)
+    if os.path.isdir(lm_path):
+        tree = ckpt.load_model(lm_path)
+        variables = {"params": tree["params"]}
+    else:
+        sd = ti.load_state_dict_np(lm_path)
+        variables = {"params": {"lm": _import_lm_params(sd, lm_cfg)}}
+    return lm_model, variables, lm_cfg
+
+
+def _import_lm_params(sd, lm_cfg):
+    t = lm_cfg.lm_type
+    # reference LM checkpoints may or may not carry the facade's "lm." prefix
+    prefix = "lm." if any(k.startswith("lm.") for k in sd) else ""
+    if t == "transformer":
+        return ti.bert_masked_lm(sd, lm_cfg.num_layers, prefix + "transformer.")
+    if t == "bert":
+        return ti.bert_masked_lm(sd, lm_cfg.num_layers, prefix + "bert.")
+    if t == "rnn":
+        return ti.rnnlm(sd, lm_cfg.num_layers, prefix)
+    if t in ("electra", "electra-disc"):
+        return ti.electra_model(
+            sd, lm_cfg.gen_num_layers, lm_cfg.disc_num_layers, prefix
+        )
+    raise NotImplementedError(f"import for lm_type={t}")
+
+
+def decode_dataset(
+    cfg: ExpConfig,
+    dataset: ASRDataset,
+    decode_fn,
+    vocab: Vocab,
+    nbest: bool = False,
+    num_samples: int = -1,
+    sample_utt_id: Optional[str] = None,
+    decode_phone: bool = False,
+) -> List[list]:
+    """Batched decode over bucket batches -> result rows."""
+    rows = []
+    n_done = 0
+    batcher = dataset.make_batcher(shuffle=False, drop_tail=False)
+    for batch in dataset.batches(batcher):
+        hyps, hyp_lens, scores = decode_fn(
+            jnp.asarray(batch["xs"]), jnp.asarray(batch["xlens"])
+        )
+        hyps, hyp_lens, scores = map(np.asarray, (hyps, hyp_lens, scores))
+        multi = hyps.ndim == 3  # beam outputs (B, W, L)
+        for b, utt_id in enumerate(batch["utt_ids"]):
+            if sample_utt_id is not None and utt_id != sample_utt_id:
+                continue
+            reftext = (
+                batch["ptexts"][b] if decode_phone else batch["texts"][b]
+            )
+            if multi:
+                cand = [
+                    (
+                        strip_eos(
+                            hyps[b, w, : hyp_lens[b, w]].tolist(), cfg.eos_id
+                        ),
+                        float(scores[b, w]),
+                    )
+                    for w in range(hyps.shape[1])
+                ]
+                cand = [(h, s) for h, s in cand if s > -1e29]
+            else:
+                cand = [
+                    (
+                        strip_eos(hyps[b, : hyp_lens[b]].tolist(), cfg.eos_id),
+                        float(scores[b]),
+                    )
+                ]
+            if nbest:
+                for h, s in cand:
+                    rows.append(
+                        [utt_id, s, ints2str(h), vocab.ids2text(h), reftext]
+                    )
+            else:
+                if not cand:
+                    logging.warning(f"cannot decode {utt_id}")
+                    rows.append([utt_id, None, "", reftext])
+                else:
+                    h = cand[0][0]
+                    rows.append([utt_id, ints2str(h), vocab.ids2text(h), reftext])
+            n_done += 1
+            if num_samples > 0 and n_done >= num_samples:
+                return rows
+    return rows
+
+
+def test_main(args, lm_weight=None, len_weight=None):
+    cfg = load_config(args.conf)
+    beam_width = args.beam_width if args.beam_width is not None else cfg.beam_width
+    if len_weight is None:
+        len_weight = (
+            args.len_weight if args.len_weight is not None else cfg.len_weight
+        )
+    decode_ctc_weight = (
+        args.decode_ctc_weight
+        if args.decode_ctc_weight is not None
+        else cfg.decode_ctc_weight
+    )
+    if lm_weight is None:
+        lm_weight = args.lm_weight if args.lm_weight is not None else cfg.lm_weight
+
+    setup_logging(None, logging.DEBUG if args.debug else logging.INFO)
+    logging.info(f"***** {' '.join(sys.argv)}")
+
+    model_path = get_model_path(args.conf, args.ep)
+    if not os.path.exists(model_path):
+        ckpt.model_average(args.conf, args.ep)
+    logging.info(f"ASR: {model_path}")
+    model = ASR(cfg)
+    variables = load_asr_variables(model_path, cfg)
+
+    lm_fusion = None
+    lm_tag = ""
+    if lm_weight > 0:
+        lm_conf = args.lm_conf or rel_to_abs_path(cfg.lm_conf)
+        lm_path = (
+            get_model_path(lm_conf, args.lm_ep)
+            if args.lm_ep is not None
+            else rel_to_abs_path(cfg.lm_path)
+        )
+        logging.info(f"LM: {lm_path}")
+        lm_model, lm_vars, lm_cfg = load_lm(lm_conf, lm_path)
+        lm_fusion = make_lm_fusion(lm_model, lm_vars, lm_weight)
+        lm_tag = lm_cfg.lm_type if args.lm_tag is None else args.lm_tag
+
+    data_path = get_eval_path(args.data)
+    data_tag = (
+        args.data
+        if args.data_tag == "test" and data_path != args.data
+        else args.data_tag
+    )
+    if data_path is None:
+        data_path = cfg.test_path
+    logging.info(f"test data: {data_path}")
+    dataset = ASRDataset(
+        cfg, rel_to_abs_path(data_path), phase="test",
+        decode_phone=args.decode_phone,
+    )
+    vocab = Vocab(
+        rel_to_abs_path(cfg.phone_vocab_path if args.decode_phone else cfg.vocab_path)
+    )
+
+    decode_fn = build_decode_fn(
+        model, variables, cfg, beam_width, len_weight, decode_ctc_weight,
+        lm_fusion, args.decode_phone,
+    )
+
+    if args.runtime:
+        runtimes, rtfs = [], []
+        for j in range(args.runtime_num_repeats):
+            t0 = time.time()
+            results = decode_dataset(
+                cfg, dataset, decode_fn, vocab, nbest=args.nbest,
+                num_samples=args.runtime_num_samples,
+                sample_utt_id=args.utt_id, decode_phone=args.decode_phone,
+            )
+            runtime = time.time() - t0
+            runtime_utt = runtime / max(len(results), 1)
+            wavtime = 0.0
+            for r in results:
+                parts = re.split("_|-", r[0])
+                start_t = int(parts[-2]) / args.wavtime_factor
+                end_t = int(parts[-1]) / args.wavtime_factor
+                wavtime += end_t - start_t
+            rtf = runtime / max(wavtime, 1e-9)
+            logging.info(
+                f"Run {j + 1} | runtime: {runtime_utt:.5f}sec/utt, "
+                f"wavtime: {wavtime:.5f}sec | RTF: {rtf:.5f}"
+            )
+            runtimes.append(runtime_utt)
+            rtfs.append(rtf)
+        logging.info(
+            f"Averaged runtime {np.mean(runtimes):.5f}sec, RTF {np.mean(rtfs):.5f}"
+        )
+        return None
+
+    results = decode_dataset(
+        cfg, dataset, decode_fn, vocab, nbest=args.nbest,
+        sample_utt_id=args.utt_id, decode_phone=args.decode_phone,
+    )
+
+    if args.utt_id is not None:
+        for r in results:
+            logging.info(r)
+        return None
+
+    results_dir = get_results_dir(args.conf)
+    if args.save_dir is not None:
+        results_dir = os.path.join(results_dir, args.save_dir)
+        os.makedirs(results_dir, exist_ok=True)
+    result_file = (
+        f"result_{data_tag}_beam{beam_width:d}_len{len_weight:.1f}"
+        f"_ctc{decode_ctc_weight:.1f}_lm{lm_weight:.2f}{lm_tag}_ep{args.ep}.tsv"
+    )
+    if args.decode_phone:
+        result_file = result_file.replace(".tsv", "_phone.tsv")
+    if args.nbest:
+        result_file = result_file.replace(".tsv", "_nbest.tsv")
+    result_path = os.path.join(results_dir, result_file)
+    logging.info(f"result: {result_path}")
+
+    if args.nbest:
+        df = pd.DataFrame(
+            results, columns=["utt_id", "score_asr", "token_id", "text", "reftext"]
+        )
+        df.to_csv(result_path, sep="\t", index=False)
+        return None
+
+    df = pd.DataFrame(results, columns=["utt_id", "token_id", "text", "reftext"])
+    df.to_csv(result_path, sep="\t", index=False)
+    wer, wer_dict = compute_wers_df(df)
+    tag = "PER" if args.decode_phone else "WER"
+    wer_info = wer_info_line(wer, wer_dict).replace("WER", tag, 1)
+    logging.info(wer_info)
+    insert_comment(result_path, wer_info)
+    return lm_weight, len_weight, wer, wer_info
+
+
+def build_argparser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-conf", type=str, required=True)
+    parser.add_argument("-ep", type=str, required=True)
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--nbest", action="store_true")
+    parser.add_argument("--data", type=str, default=None)
+    parser.add_argument("--data_tag", type=str, default="test")
+    parser.add_argument("--save_dir", type=str, default=None)
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--utt_id", type=str, default=None)
+    parser.add_argument("--runtime", action="store_true")
+    parser.add_argument("--runtime_num_samples", type=int, default=20)
+    parser.add_argument("--runtime_num_repeats", type=int, default=5)
+    parser.add_argument("--wavtime_factor", type=float, default=1000)
+    parser.add_argument("--beam_width", type=int, default=None)
+    parser.add_argument("--len_weight", type=float, default=None)
+    parser.add_argument("--decode_ctc_weight", type=float, default=None)
+    parser.add_argument("--lm_weight", type=float, default=None)
+    parser.add_argument("--lm_conf", type=str, default=None)
+    parser.add_argument("--lm_ep", type=str, default=None)
+    parser.add_argument("--lm_tag", type=str, default=None)
+    parser.add_argument("--decode_phone", action="store_true")
+    return parser
+
+
+def main():
+    args = build_argparser().parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    test_main(args)
+
+
+if __name__ == "__main__":
+    main()
