@@ -1,0 +1,303 @@
+"""Offline corpus preparation toolkit (CLI with subcommands).
+
+Parity targets (`/root/reference/corpora/utils/`):
+- `wav_to_feats.py:21-43`: wav -> 80-dim log-mel .npy + accumulated CMVN
+  stats pickle (here via the JAX front-end `emoasr_tpu.frontend.fbank`,
+  batched on device, instead of the torchaudio C++ kernel)
+- `norm_feats.py:16-42`: global CMVN from (possibly multiple) train stats
+- `sort_bylen.py:13-24`: length-sort manifests (ASR by xlen, P2W by plen)
+- `split_tsv.py:7-34`: shard a manifest into part{i}of{n}.tsv
+- `concat_text.py`: concatenate utterances into LM blocks (LM: exact
+  max_len blocks; LMall: sliding repetitions; P2W: budgeted concat)
+- `get_cols.py` / `rm_utt.py`: column selection / utterance filtering
+- `map2phone.py`: lexicon-based phone mapping columns
+- `spm_train.py` / `spm_encode.py`: sentencepiece BPE (offline CPU;
+  gated on the `sentencepiece` package being installed)
+
+Corpus pipelines (TED-LIUM2 `corpora/ted2/prep.sh`, EuroParl-ASR
+`corpora/epasr/prep.sh`) chain: download -> segment (stm/json) -> speed
+perturb -> fbank -> CMVN -> BPE -> manifest columns -> length sort; the
+shell/sox/ffmpeg stages are documented in corpora/README.md and the
+Python stages live here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import re
+import sys
+from typing import List
+
+import numpy as np
+import pandas as pd
+
+from emoasr_tpu.utils.converters import ints2str, str2ints
+from emoasr_tpu.utils.vocab import Vocab
+
+
+# ---------------------------------------------------------------------------
+# features
+# ---------------------------------------------------------------------------
+
+
+def wav_to_feats(data_path: str, num_bins: int = 80) -> None:
+    """wav (or tsv of wavs) -> .npy log-mel + CMVN stats pickle."""
+    from emoasr_tpu.frontend.fbank import load_wav, log_mel_fbank
+
+    def one(wav_path):
+        wav = load_wav(wav_path)
+        feats, flens = log_mel_fbank(wav[None], num_bins=num_bins)
+        lmfb = np.asarray(feats[0, : int(flens[0])])
+        np.save(wav_path.replace(".wav", ".npy"), lmfb)
+        return lmfb.sum(0), (lmfb * lmfb).sum(0), lmfb.shape[0]
+
+    if data_path.endswith(".tsv"):
+        df = pd.read_table(data_path)
+        s = sq = None
+        n = 0
+        for row in df.itertuples():
+            fs, fsq, fn = one(row.wav_path)
+            s = fs if s is None else s + fs
+            sq = fsq if sq is None else sq + fsq
+            n += fn
+        norm_info = {"lmfb_sum": s, "lmfb_sqsum": sq, "num_frames": n}
+        with open(data_path.replace(".tsv", "_norm.pkl"), "wb") as f:
+            pickle.dump(norm_info, f)
+    else:
+        one(data_path)
+
+
+def norm_feats(data_path: str, norm_path: str, norm_suffix: str = "norm") -> None:
+    """Apply global CMVN computed from stats pickles (norm_feats.py:16-42)."""
+    s = sq = None
+    n = 0
+    for p in norm_path.split(","):
+        with open(p, "rb") as f:
+            info = pickle.load(f)
+        s = info["lmfb_sum"] if s is None else s + info["lmfb_sum"]
+        sq = info["lmfb_sqsum"] if sq is None else sq + info["lmfb_sqsum"]
+        n += info["num_frames"]
+    mean = s / n
+    std = np.sqrt(sq / n - mean * mean)
+
+    def one(npy_path):
+        x = np.load(npy_path)
+        np.save(npy_path.replace(".npy", f"_{norm_suffix}.npy"), (x - mean) / std)
+
+    if data_path.endswith(".tsv"):
+        for row in pd.read_table(data_path).itertuples():
+            one(row.wav_path.replace(".wav", ".npy"))
+    else:
+        one(data_path)
+
+
+# ---------------------------------------------------------------------------
+# manifest tools
+# ---------------------------------------------------------------------------
+
+
+def sort_bylen(tsv_path: str, task: str = "ASR") -> str:
+    df = pd.read_table(tsv_path)
+    if task == "ASR":
+        if "xlen" not in df:
+            df["xlen"] = df["feat_path"].map(lambda p: len(np.load(p)))
+        df = df.sort_values(["xlen"])
+    else:  # P2W
+        if "plen" not in df:
+            df["plen"] = df["phone_token_id"].str.split().str.len()
+        df = df.sort_values(["plen"])
+    out = f"{os.path.splitext(tsv_path)[0]}_sorted.tsv"
+    df.to_csv(out, sep="\t", index=False)
+    return out
+
+
+def split_tsv(tsv_path: str, n_splits: int, shuffle: bool = False) -> str:
+    df = pd.read_table(tsv_path)
+    if shuffle:
+        df = df.sample(frac=1, random_state=0).reset_index(drop=True)
+    out_dir = os.path.splitext(tsv_path)[0]
+    os.makedirs(out_dir, exist_ok=True)
+    bounds = [int(i / n_splits * len(df)) for i in range(n_splits)] + [len(df)]
+    for i in range(n_splits):
+        part = df.iloc[bounds[i] : bounds[i + 1]]
+        part.to_csv(
+            os.path.join(out_dir, f"part{i + 1}of{n_splits}.tsv"),
+            sep="\t", index=False,
+        )
+    return out_dir
+
+
+def concat_text_lm(
+    tsv_path: str, max_len: int = 256, eos_id: int = 2, shuffle: bool = False,
+    out: str = None,
+) -> str:
+    """Concatenate utterances into exact `max_len` LM blocks
+    (concat_text.py task=LM)."""
+    df = pd.read_table(tsv_path)
+    if shuffle:
+        df = df.sample(frac=1, random_state=0).reset_index(drop=True)
+    outs = []
+    concat: List[int] = [eos_id]
+    start = end = ""
+    for row in df.itertuples():
+        token_id = str2ints(row.token_id) + [eos_id]
+        if start == "":
+            start = row.utt_id
+        end = row.utt_id
+        if len(token_id) > max_len:
+            continue
+        if len(concat) + len(token_id) < max_len:
+            concat += token_id
+        else:
+            rem = max_len - len(concat)
+            concat += token_id[:rem]
+            outs.append((f"{start}-{end}", ints2str(concat)))
+            start = end = ""
+            concat = token_id[rem:]
+    data = pd.DataFrame(outs, columns=["utt_id", "token_id"])
+    out = out or f"{os.path.splitext(tsv_path)[0]}_concat.tsv"
+    data.to_csv(out, sep="\t", index=False)
+    return out
+
+
+def get_cols(tsv_path: str, cols: List[str], out: str = None) -> str:
+    df = pd.read_table(tsv_path)[cols]
+    out = out or f"{os.path.splitext(tsv_path)[0]}_cols.tsv"
+    df.to_csv(out, sep="\t", index=False)
+    return out
+
+
+def rm_utt(tsv_path: str, utt_ids: List[str], out: str = None) -> str:
+    df = pd.read_table(tsv_path)
+    df = df[~df["utt_id"].isin(set(utt_ids))]
+    out = out or f"{os.path.splitext(tsv_path)[0]}_rm.tsv"
+    df.to_csv(out, sep="\t", index=False)
+    return out
+
+
+def map2phone(tsv_path: str, lexicon: str, phone_vocab: str, unk: str = "NSN",
+              out: str = None) -> str:
+    """Add `phone_token_id`/`phone_text`/`plen` columns via a lexicon
+    (map2phone.py)."""
+    word2phone = {}
+    with open(lexicon, encoding="utf-8") as f:
+        for line in f:
+            line = re.sub(r"[\s]+", " ", line.strip())
+            if not line:
+                continue
+            word = line.split(" ")[0].split("+")[0].lower()
+            word2phone[word] = " ".join(line.split(" ")[1:])
+    vocab = Vocab(phone_vocab)
+
+    df = pd.read_table(tsv_path).dropna(subset=["utt_id", "token_id", "text"])
+    ptexts, pids, plens = [], [], []
+    for row in df.itertuples():
+        phones = []
+        for w in str(row.text).split(" "):
+            phones += word2phone.get(w, unk).split() if w in word2phone else [unk]
+        ptexts.append(" ".join(phones))
+        pids.append(ints2str(vocab.tokens2ids(phones)))
+        plens.append(len(phones))
+    df["phone_token_id"] = pids
+    df["phone_text"] = ptexts
+    df["plen"] = plens
+    out = out or f"{os.path.splitext(tsv_path)[0]}_p2w.tsv"
+    df.to_csv(out, sep="\t", index=False)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# sentencepiece (offline CPU tooling, gated)
+# ---------------------------------------------------------------------------
+
+
+def spm_train(text_path: str, model_prefix: str, vocab_size: int):
+    """BPE training (spm_train.py:7-27); vocab file format: token id."""
+    try:
+        import sentencepiece as spm
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "sentencepiece is not installed in this environment; run spm "
+            "tooling offline where it is available"
+        ) from e
+    spm.SentencePieceTrainer.train(
+        input=text_path, model_prefix=model_prefix, vocab_size=vocab_size,
+        model_type="bpe", character_coverage=1.0,
+        pad_id=0, unk_id=1, bos_id=-1, eos_id=2,
+        pad_piece="<blank>", unk_piece="<unk>", eos_piece="<eos>",
+    )
+    sp = spm.SentencePieceProcessor(model_file=f"{model_prefix}.model")
+    with open(f"{model_prefix}_vocab.txt", "w", encoding="utf-8") as f:
+        for i in range(sp.get_piece_size()):
+            f.write(f"{sp.id_to_piece(i)} {i}\n")
+
+
+def spm_encode(model_path: str, tsv_path: str, out: str = None) -> str:
+    """Add token_id/ylen columns by encoding `text` (spm_encode.py:17-36)."""
+    try:
+        import sentencepiece as spm
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("sentencepiece is not installed") from e
+    sp = spm.SentencePieceProcessor(model_file=model_path)
+    df = pd.read_table(tsv_path)
+    df["token_id"] = [
+        ints2str(sp.encode(str(t))) for t in df["text"]
+    ]
+    df["ylen"] = df["token_id"].str.split().str.len()
+    out = out or f"{os.path.splitext(tsv_path)[0]}_bpe.tsv"
+    df.to_csv(out, sep="\t", index=False)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+
+def main():
+    p = argparse.ArgumentParser(prog="emoasr_tpu.corpora.prep")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("wav_to_feats"); s.add_argument("data_path")
+    s = sub.add_parser("norm_feats"); s.add_argument("data_path")
+    s.add_argument("norm_path"); s.add_argument("--norm_suffix", default="norm")
+    s = sub.add_parser("sort_bylen"); s.add_argument("tsv_path")
+    s.add_argument("--task", choices=["ASR", "P2W"], default="ASR")
+    s = sub.add_parser("split_tsv"); s.add_argument("tsv_path")
+    s.add_argument("-n_splits", type=int, required=True)
+    s.add_argument("--shuffle", action="store_true")
+    s = sub.add_parser("concat_text"); s.add_argument("tsv_path")
+    s.add_argument("--max_len", type=int, default=256)
+    s.add_argument("--eos_id", type=int, default=2)
+    s.add_argument("--shuffle", action="store_true")
+    s = sub.add_parser("map2phone"); s.add_argument("tsv_path")
+    s.add_argument("-lexicon", required=True); s.add_argument("-vocab", required=True)
+    s = sub.add_parser("spm_train"); s.add_argument("text_path")
+    s.add_argument("-model_prefix", required=True)
+    s.add_argument("-vocab_size", type=int, required=True)
+    s = sub.add_parser("spm_encode"); s.add_argument("tsv_path")
+    s.add_argument("-model", required=True)
+
+    args = p.parse_args()
+    if args.cmd == "wav_to_feats":
+        wav_to_feats(args.data_path)
+    elif args.cmd == "norm_feats":
+        norm_feats(args.data_path, args.norm_path, args.norm_suffix)
+    elif args.cmd == "sort_bylen":
+        print(sort_bylen(args.tsv_path, args.task))
+    elif args.cmd == "split_tsv":
+        print(split_tsv(args.tsv_path, args.n_splits, args.shuffle))
+    elif args.cmd == "concat_text":
+        print(concat_text_lm(args.tsv_path, args.max_len, args.eos_id, args.shuffle))
+    elif args.cmd == "map2phone":
+        print(map2phone(args.tsv_path, args.lexicon, args.vocab))
+    elif args.cmd == "spm_train":
+        spm_train(args.text_path, args.model_prefix, args.vocab_size)
+    elif args.cmd == "spm_encode":
+        print(spm_encode(args.model, args.tsv_path))
+
+
+if __name__ == "__main__":
+    main()
