@@ -91,10 +91,13 @@ class ASRDataset:
     def __len__(self) -> int:
         return len(self.data)
 
-    def __getitem__(self, idx: int) -> Dict:
+    def __getitem__(self, idx: int, load_x: bool = True) -> Dict:
         cfg = self.cfg
         row = self.data.iloc[idx]
-        x = np.load(row["feat_path"])[:, : cfg.feat_dim].astype(np.float32)
+        if load_x:
+            x = np.load(row["feat_path"])[:, : cfg.feat_dim].astype(np.float32)
+        else:
+            x = np.zeros((0, cfg.feat_dim), np.float32)
         # NOTE: frame stacking happens on device after SpecAugment (train)
         # to keep the reference's specaug->stack order; here only for eval
         # paths that never see specaug.
@@ -150,14 +153,31 @@ class ASRDataset:
         )
 
     def collate(self, indices: List[int], max_xlen: int, max_ylen: int) -> Dict:
-        """Build one fixed-shape batch (pads with dummy rows if needed)."""
-        cfg = self.cfg
-        exs = [self[i] for i in indices]
-        B = len(exs)
-        eos = cfg.eos_id
+        """Build one fixed-shape batch (pads with dummy rows if needed).
 
-        xs = pad_to([e["x"] for e in exs], max_xlen, 0.0)
-        xlens = np.asarray([e["xlen"] for e in exs], np.int32)
+        Uses the native multithreaded .npy batch loader when built
+        (emoasr_tpu/native/batch_loader.cpp)."""
+        cfg = self.cfg
+        try:
+            from emoasr_tpu import native as _native
+
+            use_native = _native.available()
+        except Exception:  # pragma: no cover
+            use_native = False
+
+        B = len(indices)
+        eos = cfg.eos_id
+        if use_native:
+            paths = [self.data.iloc[i]["feat_path"] for i in indices]
+            xs, xl = _native.load_feat_batch_native(
+                paths, max_xlen, cfg.feat_dim
+            )
+            exs = [self.__getitem__(i, load_x=False) for i in indices]
+            xlens = xl.astype(np.int32)
+        else:
+            exs = [self[i] for i in indices]
+            xs = pad_to([e["x"] for e in exs], max_xlen, 0.0)
+            xlens = np.asarray([e["xlen"] for e in exs], np.int32)
         ys = pad_to([e["y"] for e in exs], max_ylen, eos)
         ylens = np.asarray([e["ylen"] for e in exs], np.int32)
 

@@ -16,9 +16,12 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 try:  # optional native fast path (built by emoasr_tpu/native/build.sh)
-    from emoasr_tpu.native import edit_distance_native  # type: ignore
+    from emoasr_tpu import native as _native
+
+    _native_ok = _native.available()
 except Exception:  # pragma: no cover - native lib absent
-    edit_distance_native = None
+    _native = None
+    _native_ok = False
 
 
 def _edit_distance_matrix(ref: Sequence, hyp: Sequence) -> np.ndarray:
@@ -95,16 +98,48 @@ def compute_wer(hyp: List, ref: List, cer: bool = False) -> Tuple[float, Dict]:
     }
 
 
+def _intern_tokens(seqs: List[List]) -> List[List[int]]:
+    """Map arbitrary token sequences to int ids for the native kernel."""
+    table: Dict = {}
+    out = []
+    for s in seqs:
+        row = []
+        for t in s:
+            if t not in table:
+                table[t] = len(table)
+            row.append(table[t])
+        out.append(row)
+    return out
+
+
 def compute_wers(hyps: List[List], refs: List[List], vocab=None, cer: bool = False):
-    """Corpus WER: aggregate S/I/D over utterances (metrics.py:108-135)."""
-    tot = {"n_sub": 0, "n_ins": 0, "n_del": 0, "n_ref": 0}
-    for hyp, ref in zip(hyps, refs):
-        if vocab is not None:
-            hyp = vocab.ids2words(hyp)
-            ref = vocab.ids2words(ref)
-        _, wd = compute_wer(hyp, ref, cer=cer)
-        for k in tot:
-            tot[k] += wd[k]
+    """Corpus WER: aggregate S/I/D over utterances (metrics.py:108-135).
+
+    Uses the native C++ kernel (emoasr_tpu/native) when built."""
+    if vocab is not None:
+        hyps = [vocab.ids2words(h) for h in hyps]
+        refs = [vocab.ids2words(r) for r in refs]
+    if cer:
+        hyps = [list("".join(map(str, h))) for h in hyps]
+        refs = [list("".join(map(str, r))) for r in refs]
+    hyps = [h if len(h) else ["<dummy>"] for h in hyps]
+
+    if _native_ok and len(hyps) > 8:
+        interned = _intern_tokens([*hyps, *refs])
+        h_i, r_i = interned[: len(hyps)], interned[len(hyps) :]
+        counts = _native.edit_distance_native(h_i, r_i)
+        tot = {
+            "n_sub": int(counts[:, 0].sum()),
+            "n_ins": int(counts[:, 1].sum()),
+            "n_del": int(counts[:, 2].sum()),
+            "n_ref": int(counts[:, 3].sum()),
+        }
+    else:
+        tot = {"n_sub": 0, "n_ins": 0, "n_del": 0, "n_ref": 0}
+        for hyp, ref in zip(hyps, refs):
+            _, wd = compute_wer(hyp, ref, cer=False)
+            for k in tot:
+                tot[k] += wd[k]
     wer = (tot["n_sub"] + tot["n_ins"] + tot["n_del"]) / tot["n_ref"] * 100
     tot["wer"] = wer
     return wer, tot
