@@ -46,7 +46,7 @@ def main():
     )
     model = ASR(cfg)
 
-    B, T = 32, 1000  # 32 utterances x 10 s
+    B, T = 64, 1000  # 64 utterances x 10 s (batch sweet spot on v5e)
     rng = np.random.default_rng(0)
     xs = jnp.asarray(rng.normal(size=(B, T, 80)).astype(np.float32))
     xlens = jnp.full((B,), T, jnp.int32)
@@ -58,14 +58,14 @@ def main():
     decode = jax.jit(
         lambda v, x, l: model.apply(v, x, l, method=ASR.decode_greedy)
     )
-    # distinct inputs per iteration (defeats any transport-level caching),
-    # staged onto the device before timing — the remote tunnel's H2D path
-    # is not what we are measuring (production inputs stream via infeed)
+    # distinct inputs per iteration (defeats any transport-level caching)
+    # derived ON DEVICE from one staged buffer — the remote tunnel's H2D
+    # path is not what we are measuring (production inputs stream via
+    # infeed), and it is far too slow to ship n_iters buffers through
     n_iters = 10
-    inputs = []
-    for _ in range(n_iters):
-        a = jax.device_put(rng.normal(size=(B, T, 80)).astype(np.float32))
-        inputs.append(a)
+    base = jax.device_put(xs)
+    roll = jax.jit(lambda x, i: jnp.roll(x, i, axis=1))
+    inputs = [roll(base, i) for i in range(n_iters)]
     np.asarray(inputs[-1][0, 0, :1])  # force materialization of the queue
     # warmup / compile
     hyps, hyp_lens, _, _ = decode(variables, xs, xlens)
