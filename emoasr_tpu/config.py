@@ -64,6 +64,10 @@ class ExpConfig:
     dec_rnnt_hidden_size: Optional[int] = None  # RNN-T prediction net LSTM size
     dec_rnnt_num_layers: int = 1
     joint_hidden_size: Optional[int] = None  # RNN-T joint net size
+    # RNN-T joint memory strategy: "full" materializes (B,T,U+1,V) like the
+    # reference; "chunked" streams time chunks with remat (O(BTU) memory);
+    # "pallas" uses the fused TPU kernel forward (ops/rnnt_pallas.py)
+    rnnt_joint_mode: str = "chunked"
     mtl_ctc_weight: float = 0.0  # aux CTC for attention / RNN-T decoders
     max_decode_ylen: int = 256  # emission cap (rnn_transducer.py:32)
 

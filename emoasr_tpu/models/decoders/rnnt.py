@@ -42,10 +42,12 @@ class RNNTDecoder(nn.Module):
             cfg.dec_hidden_size, cfg.dec_num_layers, cfg.dropout_dec_rate,
             name="rnns",
         )
+        from emoasr_tpu.models.layers import ExplicitDense
+
         joint = cfg.joint_hidden_size or cfg.dec_hidden_size
         self.w_enc = nn.Dense(joint, name="w_enc")
         self.w_dec = nn.Dense(joint, name="w_dec")
-        self.output = nn.Dense(cfg.vocab_size, name="output")
+        self.output = ExplicitDense(joint, cfg.vocab_size, name="output")
         if cfg.mtl_ctc_weight > 0:
             self.ctc = CTCDecoder(cfg)
 
@@ -88,12 +90,43 @@ class RNNTDecoder(nn.Module):
         loss_dict = {}
 
         douts, _ = self.recurrency(ys_in, None, deterministic)  # (B, U+1, D)
-        logits = self.joint(eouts, douts)  # (B, T, U+1, V)
-        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
-        loss_rnnt = rnnt_loss(
-            log_probs, ys, elens, ylens, cfg.blank_id, reduction="mean"
-        )
+        use_kd = cfg.kd_weight > 0 and soft_labels is not None
+        mode = cfg.rnnt_joint_mode if not use_kd else "full"
+        if mode == "full":
+            # reference layout: materialize the (B, T, U+1, V) joint
+            # (rnn_transducer.py:101) — needed for the KD losses
+            logits = self.joint(eouts, douts)
+            log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            loss_rnnt = rnnt_loss(
+                log_probs, ys, elens, ylens, cfg.blank_id, reduction="mean"
+            )
+        else:
+            # memory-efficient path: blank/label log-probs straight from the
+            # joint activations (O(BTU) memory; "pallas" = fused TPU kernel)
+            from emoasr_tpu.ops.rnnt import (
+                rnnt_alpha_rowscan,
+                rnnt_gathered_from_joint,
+            )
+
+            h_enc = self.w_enc(eouts)
+            h_dec = self.w_dec(douts)
+            w_out = self.output.kernel
+            b_out = self.output.bias
+            if mode == "pallas":
+                from emoasr_tpu.ops.rnnt_pallas import fused_joint_gather
+
+                lp_blank, lp_label = fused_joint_gather(
+                    h_enc, h_dec, w_out, b_out, ys, cfg.blank_id
+                )
+            else:
+                lp_blank, lp_label = rnnt_gathered_from_joint(
+                    h_enc, h_dec, w_out, b_out, ys, cfg.blank_id
+                )
+            loss_rnnt = -jnp.mean(
+                rnnt_alpha_rowscan(lp_blank, lp_label, elens, ylens)
+            )
+            logits = None
         loss = loss_rnnt
         loss_dict["loss_rnnt"] = loss_rnnt
 

@@ -49,6 +49,29 @@ def make_causal_mask(length: int) -> jnp.ndarray:
     return jnp.tril(jnp.ones((length, length), bool))
 
 
+class ExplicitDense(nn.Module):
+    """Dense layer whose kernel/bias are directly addressable attributes.
+
+    Same parameter tree layout as nn.Dense ({kernel, bias}) so checkpoints
+    are interchangeable; used where fused kernels need the raw weights
+    (e.g. the RNN-T joint output in ops/rnnt_pallas.py)."""
+
+    features_in: int
+    features_out: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.features_in, self.features_out),
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features_out,)
+        )
+
+    def __call__(self, x):
+        return x @ self.kernel + self.bias
+
+
 class PositionalEncoder(nn.Module):
     """x * sqrt(d) + PE, then dropout (transformer.py:15-46)."""
 

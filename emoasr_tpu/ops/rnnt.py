@@ -139,6 +139,179 @@ def rnnt_loss_gathered(
     return -ll
 
 
+# ---------------------------------------------------------------------------
+# Row-scan formulation (TPU-friendly: no diagonal gathers)
+# ---------------------------------------------------------------------------
+
+
+def _log_linear_scan(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve x_u = b_u LSE (a_u + x_{u-1}) along the last axis.
+
+    Kogge-Stone doubling in the (LSE, +) semiring: log2(U) fully-vectorized
+    steps instead of a U-long sequential loop — this is what makes the
+    within-row label recursion map onto the VPU.
+    """
+    U = a.shape[-1]
+    x, A = b, a
+    s = 1
+    while s < U:
+        x_sh = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(s, 0)],
+                       constant_values=LOG_0)[..., :-s]
+        A_sh = jnp.pad(A, [(0, 0)] * (A.ndim - 1) + [(s, 0)],
+                       constant_values=0.0)[..., :-s]
+        x = jnp.logaddexp(x, A + x_sh)
+        A = A + A_sh
+        s *= 2
+    return x
+
+
+def rnnt_alpha_rowscan(
+    lp_blank: jnp.ndarray,
+    lp_label: jnp.ndarray,
+    xlens: jnp.ndarray,
+    ylens: jnp.ndarray,
+):
+    """Forward lattice as a scan over TIME rows.
+
+    alpha[t, u] = LSE(alpha[t-1, u] + blank[t-1, u],
+                      alpha[t, u-1] + label[t, u-1])
+    The cross-row term is elementwise; the within-row term is a first-order
+    log-linear recurrence solved by `_log_linear_scan` — T sequential steps
+    of log2(U) vector ops, with contiguous row reads (the anti-diagonal
+    variant does T+U steps with per-step diagonal gathers).
+
+    Returns per-utterance log-likelihood (B,).
+    """
+    lp_blank = lp_blank.astype(jnp.float32)
+    lp_label = lp_label.astype(jnp.float32)
+    B, T, U1 = lp_blank.shape
+    # a[u]: label emission into u (from u-1), stored at column u
+    a_all = jnp.pad(lp_label, ((0, 0), (0, 0), (1, 0)), constant_values=LOG_0)
+
+    onehot_final = (
+        jnp.arange(U1)[None, :] == ylens[:, None]
+    ).astype(jnp.float32)
+
+    # row 0: pure label chain from alpha[0,0]=0
+    b0 = jnp.full((B, U1), LOG_0, jnp.float32).at[:, 0].set(0.0)
+    alpha0 = _log_linear_scan(a_all[:, 0], b0)
+    final0 = jnp.where(
+        xlens == 1,
+        jnp.sum(alpha0 * onehot_final, axis=1),
+        LOG_0,
+    )
+
+    def step(carry, inputs):
+        alpha, final = carry
+        lpb_prev, a_t, t = inputs  # (B, U1), (B, U1), scalar row index
+        b = alpha + lpb_prev
+        new_alpha = _log_linear_scan(a_t, b)
+        run = (t < xlens)[:, None]
+        new_alpha = jnp.where(run, new_alpha, alpha)
+        hit = t == (xlens - 1)
+        cell = jnp.sum(new_alpha * onehot_final, axis=1)
+        final = jnp.where(hit, cell, final)
+        return (new_alpha, final), None
+
+    (alpha, final), _ = jax.lax.scan(
+        step,
+        (alpha0, final0),
+        (
+            lp_blank[:, :-1].transpose(1, 0, 2),
+            a_all[:, 1:].transpose(1, 0, 2),
+            jnp.arange(1, T),
+        ),
+    )
+
+    term = jnp.take_along_axis(
+        jnp.take_along_axis(
+            lp_blank, (xlens - 1)[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0, :],
+        ylens[:, None].astype(jnp.int32),
+        axis=1,
+    )[:, 0]
+    return final + term
+
+
+def rnnt_loss_rowscan(
+    log_probs: jnp.ndarray,
+    labels: jnp.ndarray,
+    xlens: jnp.ndarray,
+    ylens: jnp.ndarray,
+    blank_id: int = 0,
+    reduction: str = "mean",
+) -> jnp.ndarray:
+    """RNN-T loss via the row-scan lattice (same semantics as rnnt_loss)."""
+    lp_blank, lp_label = _gather_blank_label(
+        log_probs.astype(jnp.float32), labels, blank_id
+    )
+    nll = -rnnt_alpha_rowscan(lp_blank, lp_label, xlens, ylens)
+    if reduction == "mean":
+        return jnp.mean(nll)
+    if reduction == "sum":
+        return jnp.sum(nll)
+    return nll
+
+
+def rnnt_gathered_from_joint(
+    h_enc: jnp.ndarray,
+    h_dec: jnp.ndarray,
+    w_out: jnp.ndarray,
+    b_out: jnp.ndarray,
+    labels: jnp.ndarray,
+    blank_id: int = 0,
+    time_chunk: int = 32,
+):
+    """Memory-efficient blank/label log-prob extraction from joint
+    activations WITHOUT materializing the (B, T, U+1, V) tensor.
+
+    h_enc: (B, T, J) = W_enc @ eouts; h_dec: (B, U+1, J) = W_dec @ douts
+    (biases folded in); w_out: (J, V), b_out: (V,).
+
+    The joint output is computed in time chunks; each chunk's (B, c, U1, V)
+    logits are reduced to logsumexp + two gathers and discarded.
+    `jax.checkpoint` on the chunk makes backward recompute instead of
+    keeping V-wide residuals — this is the warp_rnnt `gather=True` memory
+    saving without a custom kernel (a Pallas fusion is layered on top in
+    ops/rnnt_pallas.py).
+    """
+    B, T, J = h_enc.shape
+    U1 = h_dec.shape[1]
+    U = U1 - 1
+    pad_T = (-T) % time_chunk
+    h_enc_p = jnp.pad(h_enc, ((0, 0), (0, pad_T), (0, 0)))
+    n_chunks = (T + pad_T) // time_chunk
+    chunks = h_enc_p.reshape(B, n_chunks, time_chunk, J)
+
+    w_blank = w_out[:, blank_id]  # (J,)
+    b_blank = b_out[blank_id]
+    # per-label output rows: (B, U, J)
+    w_label = w_out.T[labels.astype(jnp.int32)]  # (B, U, J)
+    b_label = b_out[labels.astype(jnp.int32)]  # (B, U)
+
+    @jax.checkpoint
+    def chunk_fn(h_enc_c):
+        # h_enc_c: (B, c, J)
+        z = jnp.tanh(h_enc_c[:, :, None, :] + h_dec[:, None, :, :])
+        logits = jnp.einsum("bcuj,jv->bcuv", z, w_out) + b_out
+        lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+        lpb = (
+            jnp.einsum("bcuj,j->bcu", z, w_blank) + b_blank
+        ).astype(jnp.float32) - lse
+        lpl = (
+            jnp.einsum("bcuj,buj->bcu", z[:, :, :U, :], w_label)
+            + b_label[:, None, :]
+        ).astype(jnp.float32) - lse[:, :, :U]
+        return lpb, lpl
+
+    lpb_chunks, lpl_chunks = jax.lax.map(
+        lambda c: chunk_fn(c), chunks.transpose(1, 0, 2, 3)
+    )
+    lp_blank = lpb_chunks.transpose(1, 0, 2, 3).reshape(B, T + pad_T, U1)[:, :T]
+    lp_label = lpl_chunks.transpose(1, 0, 2, 3).reshape(B, T + pad_T, U)[:, :T]
+    return lp_blank, lp_label
+
+
 def rnnt_loss(
     log_probs: jnp.ndarray,
     labels: jnp.ndarray,

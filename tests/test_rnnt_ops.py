@@ -158,3 +158,114 @@ def test_rnnt_forced_align_matches_dp(seed):
         jnp.asarray(lp), jnp.asarray(xlens), jnp.asarray(labels), jnp.asarray(ylens)
     )
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_rnnt_rowscan_matches_diagonal():
+    from emoasr_tpu.ops.rnnt import rnnt_loss_rowscan
+
+    rng = np.random.default_rng(5)
+    B, T, U1, V = 3, 10, 5, 8
+    logits = rng.normal(size=(B, T, U1, V)).astype(np.float32)
+    lp = jax.nn.log_softmax(jnp.asarray(logits), -1)
+    labels = jnp.asarray(rng.integers(1, V, (B, U1 - 1)))
+    xl = jnp.asarray([10, 7, 5])
+    yl = jnp.asarray([4, 3, 1])
+    l1 = rnnt_loss(lp, labels, xl, yl, reduction="none")
+    l2 = rnnt_loss_rowscan(lp, labels, xl, yl, reduction="none")
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4)
+    g1 = jax.grad(lambda x: rnnt_loss(jax.nn.log_softmax(x, -1), labels, xl, yl))(
+        jnp.asarray(logits)
+    )
+    g2 = jax.grad(
+        lambda x: rnnt_loss_rowscan(jax.nn.log_softmax(x, -1), labels, xl, yl)
+    )(jnp.asarray(logits))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-6)
+
+
+def test_rnnt_chunked_joint_matches_full():
+    from emoasr_tpu.ops.rnnt import (
+        _gather_blank_label,
+        rnnt_gathered_from_joint,
+    )
+
+    rng = np.random.default_rng(6)
+    B, T, U1, V, J = 2, 9, 5, 20, 8
+    h_enc = jnp.asarray(rng.normal(size=(B, T, J)).astype(np.float32))
+    h_dec = jnp.asarray(rng.normal(size=(B, U1, J)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(J, V)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(1, V, (B, U1 - 1)))
+    z = jnp.tanh(h_enc[:, :, None, :] + h_dec[:, None, :, :])
+    full = jax.nn.log_softmax(jnp.einsum("btuj,jv->btuv", z, w) + b, -1)
+    lpb_ref, lpl_ref = _gather_blank_label(full, labels, 0)
+    lpb, lpl = rnnt_gathered_from_joint(h_enc, h_dec, w, b, labels, time_chunk=4)
+    np.testing.assert_allclose(np.asarray(lpb), np.asarray(lpb_ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lpl), np.asarray(lpl_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_rnnt_pallas_fused_interpret():
+    """Pallas fused joint kernel vs the chunked reference (interpret mode
+    on CPU; compiled parity is exercised on the real chip in benchmarks)."""
+    from jax.experimental import pallas as pl
+
+    import emoasr_tpu.ops.rnnt_pallas as rp
+    from emoasr_tpu.ops.rnnt import rnnt_gathered_from_joint
+
+    orig = rp.pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    rp.pl.pallas_call = interp
+    try:
+        rng = np.random.default_rng(7)
+        B, T, U1, V, J = 2, 11, 6, 40, 16
+        h_enc = jnp.asarray(rng.normal(size=(B, T, J)).astype(np.float32))
+        h_dec = jnp.asarray(rng.normal(size=(B, U1, J)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(J, V)).astype(np.float32) * 0.3)
+        b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(1, V, (B, U1 - 1)))
+        lpb_ref, lpl_ref = rnnt_gathered_from_joint(
+            h_enc, h_dec, w, b, labels, time_chunk=4
+        )
+        lpb, lpl = rp.fused_joint_gather_fwd(
+            h_enc, h_dec, w, b, labels, t_chunk=4, v_chunk=16
+        )
+        np.testing.assert_allclose(
+            np.asarray(lpb), np.asarray(lpb_ref), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(lpl), np.asarray(lpl_ref), rtol=1e-4, atol=1e-4
+        )
+    finally:
+        rp.pl.pallas_call = orig
+
+
+def test_rnnt_decoder_chunked_mode_matches_full():
+    from emoasr_tpu.config import config_from_dict
+    from emoasr_tpu.models.decoders.rnnt import RNNTDecoder
+
+    rng = np.random.default_rng(8)
+    B, T, U, E = 2, 8, 4, 16
+    base = dict(
+        decoder_type="rnn_transducer", vocab_size=12, enc_hidden_size=E,
+        dec_hidden_size=16, dec_num_layers=1, embedding_size=8,
+        joint_hidden_size=16,
+    )
+    eouts = jnp.asarray(rng.normal(size=(B, T, E)).astype(np.float32))
+    elens = jnp.asarray([8, 6])
+    ys = jnp.asarray(rng.integers(1, 12, (B, U)))
+    ylens = jnp.asarray([4, 3])
+    ys_in = jnp.pad(ys, ((0, 0), (1, 0)), constant_values=2)
+
+    losses = {}
+    for mode in ("full", "chunked"):
+        cfg = config_from_dict(dict(base, rnnt_joint_mode=mode))
+        dec = RNNTDecoder(cfg)
+        v = dec.init(
+            jax.random.PRNGKey(0), eouts, elens, None, ys, ylens, ys_in
+        )
+        loss, ld, _ = dec.apply(v, eouts, elens, None, ys, ylens, ys_in)
+        losses[mode] = float(loss)
+    np.testing.assert_allclose(losses["chunked"], losses["full"], rtol=1e-4)
