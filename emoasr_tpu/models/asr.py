@@ -92,6 +92,9 @@ class ASR(nn.Module):
         if cfg.decoder_type == "rnn_transducer":
             hyps, hyp_lens, aligns = self.decoder.greedy(eouts, elens)
             return hyps, hyp_lens, None, aligns
+        if cfg.decoder_type == "las":
+            hyps, hyp_lens = self.decoder.decode_greedy(eouts, elens)
+            return hyps, hyp_lens, None, None
         raise NotImplementedError(
             f"greedy decode for {cfg.decoder_type}; use emoasr_tpu.search"
         )

@@ -91,7 +91,10 @@ class LASDecoder(nn.Module):
 
         self.intermed_k = self.param("intermed_kernel", lecun, (E + H, cfg.dec_intermediate_size))
         self.intermed_b = self.param("intermed_bias", zeros, (cfg.dec_intermediate_size,))
-        self.output = nn.Dense(cfg.vocab_size, name="output")
+        from emoasr_tpu.models.layers import ExplicitDense
+        self.output = ExplicitDense(
+            cfg.dec_intermediate_size, cfg.vocab_size, name="output"
+        )
         if cfg.mtl_ctc_weight > 0:
             self.ctc = CTCDecoder(cfg)
 
@@ -157,6 +160,107 @@ class LASDecoder(nn.Module):
         )
         _, outs = jax.lax.scan(step, carry0, emb.transpose(1, 0, 2))
         return self.output(outs.transpose(1, 0, 2))  # (B, L, V)
+
+    def _make_step(self, eouts, elens):
+        """Returns (step_fn, carry0): one decode step given previous tokens.
+
+        step_fn(carry, tokens (B,)) -> (carry, log_probs (B, V))
+        """
+        cfg = self.cfg
+        B, T, E = eouts.shape
+        H = cfg.dec_hidden_size
+        attn_mask = make_pad_mask(elens, T)
+        keys_proj = eouts @ self.w_key_k + self.w_key_b
+        cells = self.cells
+        conv_kernel = self.conv_kernel
+        w_query_k, w_query_b = self.w_query_k, self.w_query_b
+        w_conv_k, w_conv_b = self.w_conv_k, self.w_conv_b
+        w_score_k, w_score_b = self.w_score_k, self.w_score_b
+        intermed_k, intermed_b = self.intermed_k, self.intermed_b
+        embedding = self.embed.embedding
+        out_kernel, out_bias = self.output.kernel, self.output.bias
+
+        def output_fn(h):
+            return h @ out_kernel + out_bias
+
+        def step(carry, tokens):
+            hs, cs, ctx, attn_w = carry
+            y_emb = embedding[tokens.astype(jnp.int32)]
+            x = jnp.concatenate([y_emb, ctx], axis=-1)
+            new_hs, new_cs = [], []
+            douts_1 = None
+            for li, cp in enumerate(cells):
+                h, c = _lstm_cell(
+                    x, hs[li], cs[li], cp["w_ih"], cp["w_hh"], cp["b_ih"],
+                    cp["b_hh"],
+                )
+                new_hs.append(h)
+                new_cs.append(c)
+                x = h
+                if li == 0:
+                    douts_1 = h
+            douts_top = x
+            conv_feat = jax.lax.conv_general_dilated(
+                attn_w[:, :, None], conv_kernel, (1,), "SAME",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            )
+            score = (
+                jnp.tanh(
+                    keys_proj
+                    + (douts_1 @ w_query_k + w_query_b)[:, None, :]
+                    + conv_feat @ w_conv_k + w_conv_b
+                ) @ w_score_k + w_score_b
+            )[:, :, 0]
+            score = jnp.where(attn_mask, score, NEG_INF)
+            attn_w = jax.nn.softmax(score.astype(jnp.float32), 1).astype(
+                eouts.dtype
+            )
+            ctx = jnp.einsum("bt,btd->bd", attn_w, eouts)
+            logit = jnp.tanh(
+                jnp.concatenate([ctx, douts_top], -1) @ intermed_k + intermed_b
+            )
+            logp = jax.nn.log_softmax(
+                output_fn(logit).astype(jnp.float32), -1
+            )
+            return (tuple(new_hs), tuple(new_cs), ctx, attn_w), logp
+
+        carry0 = (
+            tuple(jnp.zeros((B, H), eouts.dtype) for _ in cells),
+            tuple(jnp.zeros((B, H), eouts.dtype) for _ in cells),
+            jnp.zeros((B, E), eouts.dtype),
+            jnp.zeros((B, T), eouts.dtype),
+        )
+        return step, carry0
+
+    def decode_greedy(self, eouts, elens):
+        """Batched greedy decode (the reference's LAS decode with width 1,
+        las.py:175-280).  Returns (hyps (B, L), hyp_lens)."""
+        cfg = self.cfg
+        B = eouts.shape[0]
+        L = cfg.max_decode_ylen
+        step, carry0 = self._make_step(eouts, elens)
+
+        def body(state, _):
+            carry, tok, done, hyps, n = state
+            carry, logp = step(carry, tok)
+            new_tok = jnp.argmax(logp, -1).astype(jnp.int32)
+            emit = ~done & (new_tok != cfg.eos_id)
+            hyps = hyps.at[jnp.arange(B), jnp.minimum(n, L - 1)].set(
+                jnp.where(emit, new_tok, hyps[jnp.arange(B), jnp.minimum(n, L - 1)])
+            )
+            n = jnp.where(emit, n + 1, n)
+            done = done | (new_tok == cfg.eos_id)
+            return (carry, new_tok, done, hyps, n), None
+
+        init = (
+            carry0,
+            jnp.full((B,), cfg.eos_id, jnp.int32),
+            jnp.zeros((B,), bool),
+            jnp.zeros((B, L), jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+        )
+        (c, t, d, hyps, n), _ = jax.lax.scan(body, init, None, length=L)
+        return hyps, n
 
     def __call__(
         self,

@@ -55,9 +55,13 @@ def spec_augment(
     B, T, F = xs.shape
     kf1, kf2, kt1, kt2, kn = jax.random.split(key, 5)
 
-    # frequency masks
+    # frequency masks.  NOTE: jax.random.randint with an ARRAY maxval is
+    # ~10x slower on TPU than fixed-bound bits+mod (92 ms vs 9 ms measured
+    # for (32, 20) draws), so start positions use the modulo construction.
     fw = jax.random.randint(kf1, (B, MAX_MASKS), 0, max(max_mask_freq, 1))
-    fs = jax.random.randint(kf2, (B, MAX_MASKS), 0, jnp.maximum(F - fw, 1))
+    fs = jax.random.randint(kf2, (B, MAX_MASKS), 0, 2 ** 30) % jnp.maximum(
+        F - fw, 1
+    )
     fmask = _apply_masks(xs, fs, fw, jnp.full((B,), num_masks_freq), F, axis=2)
 
     # time masks (adaptive caps per spec_augment.py:71-76)

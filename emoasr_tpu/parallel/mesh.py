@@ -44,11 +44,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Device-put array leaves of a batch dict with batch-axis sharding;
     non-array fields (utt_ids, texts) pass through."""
-    ds = data_sharding(mesh)
+    single = mesh.devices.size == 1
+    ds = None if single else data_sharding(mesh)
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray):
-            out[k] = jax.device_put(v, ds)
+            out[k] = jax.device_put(v) if single else jax.device_put(v, ds)
         else:
             out[k] = v
     return out

@@ -88,7 +88,7 @@ def make_lm_train_step(model: LM, cfg: ExpConfig, tx, num_total_steps, mesh=None
             metrics,
         )
 
-    if mesh is not None:
+    if mesh is not None and mesh.devices.size > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())

@@ -177,3 +177,31 @@ def test_ctc_greedy_collapse_semantics():
     assert lens.tolist() == [2, 2]
     assert np.asarray(hyps)[0, :2].tolist() == [1, 2]
     assert np.asarray(hyps)[1, :2].tolist() == [3, 3]  # blank-separated repeat
+
+
+def test_las_greedy_decode():
+    from emoasr_tpu.models.decoders.las import LASDecoder
+
+    cfg = config_from_dict(
+        dict(DEC_BASE, decoder_type="las", embedding_size=24, max_decode_ylen=8)
+    )
+    dec = LASDecoder(cfg, attn_dim=20)
+    rng = np.random.default_rng(9)
+    eouts = jnp.asarray(rng.normal(size=(2, 10, 32)).astype(np.float32))
+    elens = jnp.asarray([10, 7])
+    ys = jnp.asarray(rng.integers(3, 30, (2, 4)))
+    ys_in = jnp.pad(ys, ((0, 0), (1, 0)), constant_values=2)
+    ys_out = jnp.pad(ys, ((0, 0), (0, 1)), constant_values=2)
+    v = dec.init(
+        jax.random.PRNGKey(0), eouts, elens, None, ys, jnp.asarray([4, 3]),
+        ys_in, ys_out,
+    )
+    hyps, lens = jax.jit(
+        lambda v, e, l: dec.apply(v, e, l, method=LASDecoder.decode_greedy)
+    )(v, eouts, elens)
+    assert hyps.shape == (2, 8)
+    assert (np.asarray(lens) <= 8).all()
+    # greedy on an untrained model still terminates and emits no eos tokens
+    for b in range(2):
+        h = np.asarray(hyps)[b, : int(lens[b])]
+        assert (h != 2).all()
