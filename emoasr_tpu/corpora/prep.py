@@ -209,6 +209,137 @@ def map2phone(tsv_path: str, lexicon: str, phone_vocab: str, unk: str = "NSN",
 
 
 # ---------------------------------------------------------------------------
+# corpus segmentation (offline, needs sox; ted2/epasr prep stages)
+# ---------------------------------------------------------------------------
+
+
+def make_utts_stm(
+    stm_dir: str,
+    wav_dir: str,
+    out_wav_dir: str,
+    tsv_path: str,
+    extend_time: bool = False,
+    speed_perturb: bool = False,
+) -> str:
+    """Segment talk-level wavs by .stm into per-utterance wavs + manifest.
+
+    Semantics of `corpora/ted2/make_utts.py:9-95`: utt ids embed start/end
+    centiseconds (zero-padded to 7), optional segment extension (-0.15 s
+    head / +0.1 s tail), 0.9/1.0/1.1 speed-perturbed variants read
+    `sp{speed}-{talk}.wav` inputs with times scaled by 1/speed.  Requires
+    `sox` on PATH.
+    """
+    import subprocess
+
+    rows = []
+    for stm_file in sorted(os.listdir(stm_dir)):
+        if not stm_file.endswith(".stm"):
+            continue
+        with open(stm_dir + "/" + stm_file) as f:
+            for line in f:
+                sec = line.strip().split()
+                if len(sec) < 7:
+                    continue
+                utt_prefix = sec[0]
+                start_time, end_time = float(sec[3]), float(sec[4])
+                text = " ".join(sec[6:])
+                utt_id = (
+                    f"{utt_prefix}-{str(int(start_time * 100)).zfill(7)}"
+                    f"-{str(int(end_time * 100)).zfill(7)}"
+                )
+                odir = os.path.join(out_wav_dir, utt_prefix)
+                os.makedirs(odir, exist_ok=True)
+                if extend_time:
+                    s_fix, e_fix = max(0, start_time - 0.15), end_time + 0.1
+                else:
+                    s_fix, e_fix = start_time, end_time
+                speeds = ["0.9", "1.0", "1.1"] if speed_perturb else [None]
+                for speed in speeds:
+                    if speed is None:
+                        wav = os.path.join(wav_dir, f"{utt_prefix}.wav")
+                        sp_id, s, e = utt_id, s_fix, e_fix
+                    else:
+                        wav = os.path.join(wav_dir, f"sp{speed}-{utt_prefix}.wav")
+                        sp_id = f"sp{speed}-{utt_id}"
+                        s, e = s_fix / float(speed), e_fix / float(speed)
+                    out_wav = os.path.join(odir, f"{sp_id}.wav")
+                    cp = subprocess.run(
+                        ["sox", wav, out_wav, "trim", f"{s:.2f}", f"={e:.2f}"]
+                    )
+                    assert cp.returncode == 0, f"sox failed for {wav}"
+                    rows.append((sp_id, out_wav, text))
+    pd.DataFrame(rows, columns=["utt_id", "wav_path", "text"]).to_csv(
+        tsv_path, sep="\t", index=False
+    )
+    return tsv_path
+
+
+def join_suffix(tsv_path: str) -> str:
+    """Join clitic suffixes: "it 's" -> "it's" (ted2/join_suffix.py:6-25)."""
+
+    def process(text):
+        tokens = str(text).split()
+        out, i = [], 0
+        while i < len(tokens):
+            if i < len(tokens) - 1 and tokens[i + 1][0] == "'":
+                out.append(tokens[i] + tokens[i + 1])
+                i += 1
+            else:
+                out.append(tokens[i])
+            i += 1
+        return " ".join(out)
+
+    df = pd.read_table(tsv_path)
+    df["text"] = df["text"].map(process)
+    df.to_csv(tsv_path, sep="\t", index=False)
+    return tsv_path
+
+
+def prep_tsv(tsv_path: str, norm_suffix: str = "norm", out: str = None) -> str:
+    """Finalize manifest columns: wav_path -> feat_path (normed npy), add
+    xlen/ylen (ted2/prep_tsv.py:22-34)."""
+    df = pd.read_table(tsv_path)
+    if "wav_path" in df:
+        df["feat_path"] = df["wav_path"].str.replace(
+            ".wav", f"_{norm_suffix}.npy", regex=False
+        )
+        df = df.drop(columns=["wav_path"])
+    if "xlen" not in df:
+        df["xlen"] = df["feat_path"].map(lambda p: len(np.load(p)))
+    if "ylen" not in df and "token_id" in df:
+        df["ylen"] = df["token_id"].map(lambda t: len(str2ints(str(t))))
+    out = out or tsv_path
+    df.to_csv(out, sep="\t", index=False)
+    return out
+
+
+def map2phone_g2p(tsv_path: str, phone_vocab: str, out: str = None) -> str:
+    """Japanese g2p phone mapping via pyopenjtalk (map2phone_g2p.py);
+    gated on the package being installed (offline CPU tooling)."""
+    try:
+        import pyopenjtalk  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "pyopenjtalk is not installed in this environment; run g2p "
+            "phone mapping offline where it is available"
+        ) from e
+    vocab = Vocab(phone_vocab)
+    df = pd.read_table(tsv_path).dropna(subset=["utt_id", "text"])
+    ptexts, pids, plens = [], [], []
+    for row in df.itertuples():
+        phones = pyopenjtalk.g2p(str(row.text).replace(" ", "")).split()
+        ptexts.append(" ".join(phones))
+        pids.append(ints2str(vocab.tokens2ids(phones)))
+        plens.append(len(phones))
+    df["phone_token_id"] = pids
+    df["phone_text"] = ptexts
+    df["plen"] = plens
+    out = out or f"{os.path.splitext(tsv_path)[0]}_p2w.tsv"
+    df.to_csv(out, sep="\t", index=False)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # sentencepiece (offline CPU tooling, gated)
 # ---------------------------------------------------------------------------
 
@@ -274,6 +405,16 @@ def main():
     s.add_argument("--shuffle", action="store_true")
     s = sub.add_parser("map2phone"); s.add_argument("tsv_path")
     s.add_argument("-lexicon", required=True); s.add_argument("-vocab", required=True)
+    s = sub.add_parser("map2phone_g2p"); s.add_argument("tsv_path")
+    s.add_argument("-vocab", required=True)
+    s = sub.add_parser("make_utts_stm")
+    s.add_argument("stm_dir"); s.add_argument("wav_dir")
+    s.add_argument("out_wav_dir"); s.add_argument("tsv_path")
+    s.add_argument("--extend_time", action="store_true")
+    s.add_argument("--speed_perturb", action="store_true")
+    s = sub.add_parser("join_suffix"); s.add_argument("tsv_path")
+    s = sub.add_parser("prep_tsv"); s.add_argument("tsv_path")
+    s.add_argument("--norm_suffix", default="norm")
     s = sub.add_parser("spm_train"); s.add_argument("text_path")
     s.add_argument("-model_prefix", required=True)
     s.add_argument("-vocab_size", type=int, required=True)
@@ -293,6 +434,15 @@ def main():
         print(concat_text_lm(args.tsv_path, args.max_len, args.eos_id, args.shuffle))
     elif args.cmd == "map2phone":
         print(map2phone(args.tsv_path, args.lexicon, args.vocab))
+    elif args.cmd == "map2phone_g2p":
+        print(map2phone_g2p(args.tsv_path, args.vocab))
+    elif args.cmd == "make_utts_stm":
+        print(make_utts_stm(args.stm_dir, args.wav_dir, args.out_wav_dir,
+                            args.tsv_path, args.extend_time, args.speed_perturb))
+    elif args.cmd == "join_suffix":
+        print(join_suffix(args.tsv_path))
+    elif args.cmd == "prep_tsv":
+        print(prep_tsv(args.tsv_path, args.norm_suffix))
     elif args.cmd == "spm_train":
         spm_train(args.text_path, args.model_prefix, args.vocab_size)
     elif args.cmd == "spm_encode":

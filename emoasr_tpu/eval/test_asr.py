@@ -268,10 +268,20 @@ def test_main(args, lm_weight=None, len_weight=None):
         )
         return None
 
-    results = decode_dataset(
-        cfg, dataset, decode_fn, vocab, nbest=args.nbest,
-        sample_utt_id=args.utt_id, decode_phone=args.decode_phone,
-    )
+    if getattr(args, "profile", None):
+        # optional device trace (view with tensorboard / xprof); the
+        # reference has no profiler at all (SURVEY.md §5)
+        with jax.profiler.trace(args.profile):
+            results = decode_dataset(
+                cfg, dataset, decode_fn, vocab, nbest=args.nbest,
+                sample_utt_id=args.utt_id, decode_phone=args.decode_phone,
+            )
+        logging.info(f"profiler trace written to {args.profile}")
+    else:
+        results = decode_dataset(
+            cfg, dataset, decode_fn, vocab, nbest=args.nbest,
+            sample_utt_id=args.utt_id, decode_phone=args.decode_phone,
+        )
 
     if args.utt_id is not None:
         for r in results:
@@ -333,6 +343,8 @@ def build_argparser():
     parser.add_argument("--lm_ep", type=str, default=None)
     parser.add_argument("--lm_tag", type=str, default=None)
     parser.add_argument("--decode_phone", action="store_true")
+    parser.add_argument("--profile", type=str, default=None,
+                        help="write a jax.profiler trace to this directory")
     return parser
 
 

@@ -91,7 +91,8 @@ def greedy_valid_wer(cfg, model, state, dataset, vocab=None) -> float:
     return wer
 
 
-def train(conf_path: str, resume: bool = False, cfg: Optional[ExpConfig] = None):
+def train(conf_path: str, resume: bool = False, cfg: Optional[ExpConfig] = None,
+          profile_dir: Optional[str] = None):
     cfg = cfg or load_config(conf_path)
     log_dir, save_fmt, optim_save_fmt = get_log_save_paths(conf_path)
     setup_logging(os.path.join(log_dir, "train.log"))
@@ -156,9 +157,17 @@ def train(conf_path: str, resume: bool = False, cfg: Optional[ExpConfig] = None)
         n_acc = 0
         for i, batch in enumerate(dataset.batches(batcher)):
             rng, step_rng = jax.random.split(rng)
+            if profile_dir and epoch == start_epoch and i == 8:
+                jax.profiler.start_trace(profile_dir)
             state, metrics = train_step(
                 state, shard_batch(mesh, array_only(batch)), step_rng
             )
+            if profile_dir and epoch == start_epoch and i == 12:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), metrics
+                )
+                jax.profiler.stop_trace()
+                logging.info(f"profiler trace written to {profile_dir}")
             for k, v in metrics.items():
                 accum[k] = accum.get(k, 0.0) + float(v)
             n_acc += 1
@@ -217,8 +226,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("-conf", type=str, required=True)
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--profile", type=str, default=None,
+                        help="trace steps 8-12 of the first epoch to this dir")
     args = parser.parse_args()
-    train(args.conf, resume=args.resume)
+    train(args.conf, resume=args.resume, profile_dir=args.profile)
 
 
 if __name__ == "__main__":
