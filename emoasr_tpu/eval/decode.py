@@ -114,13 +114,39 @@ def build_decode_fn(
         @jax.jit
         def decode_att_beam(xs, xlens):
             eouts, elens, _ = encode(xs, xlens)
-            T = eouts.shape[1]
+            B, T = eouts.shape[0], eouts.shape[1]
+            W = beam_width
 
-            def step_fn(h, l, eo, el):
-                emask = make_pad_mask(el, T)[:, None, None, :]
+            # encoder-side cross-attention K/V projected ONCE (per batch,
+            # then tiled across beams) instead of every decode step
+            cross_kvs = model.apply(
+                variables, eouts,
+                method=lambda m, e: m.decoder.precompute_cross_kv(e),
+            )
+            cross_kvs_rep = [
+                tuple(
+                    jnp.broadcast_to(
+                        x[:, None], (B, W) + x.shape[1:]
+                    ).reshape((B * W,) + x.shape[1:])
+                    for x in kv
+                )
+                for kv in cross_kvs
+            ]
+
+            emask_rep = make_pad_mask(
+                jnp.broadcast_to(elens[:, None], (B, W)).reshape(B * W), T
+            )[:, None, None, :]
+
+            def init_cache_fn(N, Lmax):
                 return model.apply(
-                    variables, h, l, eo, emask,
-                    method=lambda m, *a: m.decoder.forward_one_step(*a),
+                    variables, N, Lmax,
+                    method=lambda m, n, L: m.decoder.init_cache(n, L),
+                )
+
+            def step_cached_fn(tokens, pos, caches):
+                return model.apply(
+                    variables, tokens, pos, caches, cross_kvs_rep, emask_rep,
+                    method=lambda m, *a: m.decoder.decode_step_cached(*a),
                 )
 
             ctc_lp = None
@@ -131,7 +157,7 @@ def build_decode_fn(
                 ctc_lp = jax.nn.log_softmax(ctc_logits.astype(jnp.float32), -1)
 
             return attention_beam_search(
-                eouts, elens, step_fn,
+                eouts, elens, None,
                 vocab_size=cfg.vocab_size,
                 beam_width=beam_width,
                 eos_id=cfg.eos_id,
@@ -141,6 +167,7 @@ def build_decode_fn(
                 decode_ctc_weight=decode_ctc_weight,
                 ctc_log_probs=ctc_lp,
                 max_decode_ylen=cfg.max_decode_ylen,
+                cached_step=(init_cache_fn, step_cached_fn),
             )
 
         return decode_att_beam

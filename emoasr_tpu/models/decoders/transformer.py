@@ -57,12 +57,71 @@ class TransformerDecoder(nn.Module):
             self.ctc = CTCDecoder(cfg)
 
     def _decode_stack(
-        self, ys_in, ymask, eouts, emask, deterministic: bool = True
+        self, ys_in, ymask, eouts, emask, deterministic: bool = True,
+        cross_kvs=None,
     ):
         h = self.pe(self.embed(ys_in.astype(jnp.int32)), deterministic)
-        for layer in self.layers:
-            h = layer(h, ymask, eouts, emask, deterministic)
+        for i, layer in enumerate(self.layers):
+            h = layer(
+                h, ymask, eouts, emask, deterministic,
+                cross_kv=None if cross_kvs is None else cross_kvs[i],
+            )
         return h
+
+    def precompute_cross_kv(self, eouts):
+        """Per-layer encoder-side (K, V) — step-invariant during decoding,
+        so the beam loop projects the memory ONCE instead of per step
+        (~6x decode-loop FLOP cut for the L3 config)."""
+        return [layer.compute_cross_kv(eouts) for layer in self.layers]
+
+    def init_cache(self, B: int, max_len: int):
+        """Per-layer self-attention K/V caches for incremental decoding."""
+        cfg = self.cfg
+        H = cfg.dec_num_attention_heads
+        dk = cfg.dec_hidden_size // H
+        return [
+            (
+                jnp.zeros((B, max_len, H, dk), jnp.float32),
+                jnp.zeros((B, max_len, H, dk), jnp.float32),
+            )
+            for _ in range(cfg.dec_num_layers)
+        ]
+
+    def decode_step_cached(
+        self, tokens, pos, caches, cross_kvs, memory_mask=None
+    ):
+        """Incremental one-token decode with self-attention KV caches.
+
+        tokens: (B,) newest token per row; pos: (B,) its position; caches
+        from `init_cache` (beam-gathered by the caller on pruning).
+        Numerically identical to `forward_one_step` on the full prefix but
+        O(1) instead of O(L) work per step.
+        """
+        cfg = self.cfg
+        B = tokens.shape[0]
+        Lmax = caches[0][0].shape[1]
+        import math as _math
+
+        from emoasr_tpu.models.layers import sinusoidal_pe
+
+        emb = self.embed(tokens.astype(jnp.int32))[:, None, :]
+        pe = sinusoidal_pe(Lmax, cfg.dec_hidden_size, emb.dtype)
+        h = emb * _math.sqrt(cfg.dec_hidden_size) + pe[pos][:, None, :]
+
+        # attend over cache positions <= pos
+        self_mask = (
+            jnp.arange(Lmax)[None, :] <= pos[:, None]
+        )[:, None, None, :]
+
+        new_caches = []
+        for i, layer in enumerate(self.layers):
+            h, ck, cv = layer.decode_step(
+                h, caches[i][0], caches[i][1], pos, self_mask,
+                memory_mask, cross_kvs[i],
+            )
+            new_caches.append((ck, cv))
+        logits = self.output(self.norm(h[:, 0]))
+        return logits, new_caches
 
     def __call__(
         self,
@@ -131,20 +190,22 @@ class TransformerDecoder(nn.Module):
         loss_dict["loss_total"] = loss
         return loss, loss_dict, logits
 
-    def forward_one_step(self, ys_in, ylens_in, eouts, emask=None):
+    def forward_one_step(self, ys_in, ylens_in, eouts, emask=None,
+                         cross_kvs=None):
         """Logits for the position `ylens_in-1` of each prefix.
 
         The reference (transformer.py:148-159) re-encodes the full prefix
         and takes the last position; here prefixes are fixed-width padded,
         so the "last" position is gathered per row — jit-friendly for the
-        batched beam loop.
+        batched beam loop.  Pass `cross_kvs` (from precompute_cross_kv) to
+        skip re-projecting the encoder memory each step.
         """
         L = ys_in.shape[1]
         ymask = (
             make_pad_mask(ylens_in, L)[:, None, None, :]
             & make_causal_mask(L)[None, None, :, :]
         )
-        h = self._decode_stack(ys_in, ymask, eouts, emask, True)
+        h = self._decode_stack(ys_in, ymask, eouts, emask, True, cross_kvs)
         last = jnp.take_along_axis(
             h, (ylens_in - 1)[:, None, None].astype(jnp.int32), axis=1
         )[:, 0]

@@ -162,6 +162,20 @@ class MultiHeadAttention(nn.Module):
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(self.d_k)
         return self._attend(scores, v, mask, deterministic)
 
+    def kv(self, kv_in):
+        """Precompute (k, v) projections (cross-attention cache: the
+        encoder-side K/V are step-invariant during decoding)."""
+        B = kv_in.shape[0]
+        shape = lambda x: x.reshape(B, -1, self.num_heads, self.d_k)
+        return shape(self.linear_k(kv_in)), shape(self.linear_v(kv_in))
+
+    def attend_kv(self, q_in, k, v, mask=None, deterministic: bool = True):
+        """Attention with precomputed K/V."""
+        B = q_in.shape[0]
+        q = self.linear_q(q_in).reshape(B, -1, self.num_heads, self.d_k)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(self.d_k)
+        return self._attend(scores, v, mask, deterministic)
+
 
 class RelMultiHeadAttention(MultiHeadAttention):
     """Transformer-XL style relative-position MHSA (conformer.py:57-95)."""
@@ -245,7 +259,12 @@ class TransformerEncoderLayer(nn.Module):
 
 
 class TransformerDecoderLayer(nn.Module):
-    """Pre-norm self-attn + cross-attn + FF (transformer.py:156-198)."""
+    """Pre-norm self-attn + cross-attn + FF (transformer.py:156-198).
+
+    `cross_kv` takes precomputed encoder-side (K, V) so the decode loop
+    does not re-project the encoder memory every step (it is
+    step-invariant); `compute_cross_kv` builds them once per utterance.
+    """
 
     num_heads: int
     hidden_size: int
@@ -253,30 +272,72 @@ class TransformerDecoderLayer(nn.Module):
     dropout_rate: float = 0.1
     dropout_attn_rate: float = 0.1
 
-    @nn.compact
-    def __call__(
-        self, x, tgt_mask, memory, memory_mask, deterministic: bool = True
+    def setup(self):
+        self.norm1 = nn.LayerNorm(epsilon=1e-12)
+        self.norm2 = nn.LayerNorm(epsilon=1e-12)
+        self.norm3 = nn.LayerNorm(epsilon=1e-12)
+        self.self_attn = MultiHeadAttention(
+            self.num_heads, self.hidden_size, self.dropout_attn_rate
+        )
+        self.src_attn = MultiHeadAttention(
+            self.num_heads, self.hidden_size, self.dropout_attn_rate
+        )
+        self.feed_forward = PositionwiseFeedForward(
+            self.intermediate_size, self.hidden_size, self.dropout_rate
+        )
+        self.drop = nn.Dropout(self.dropout_rate)
+
+    def compute_cross_kv(self, memory):
+        return self.src_attn.kv(memory)
+
+    def decode_step(
+        self, h, cache_k, cache_v, pos, self_mask, memory_mask=None,
+        cross_kv=None,
     ):
-        drop = nn.Dropout(self.dropout_rate)
-        h = nn.LayerNorm(epsilon=1e-12, name="norm1")(x)
-        h = MultiHeadAttention(
-            self.num_heads, self.hidden_size, self.dropout_attn_rate,
-            name="self_attn",
-        )(h, h, h, tgt_mask, deterministic)
+        """Incremental decode: one new position per row.
+
+        h: (B, 1, D) hidden for the newest token; cache_k/v: (B, Lmax, H, dk)
+        self-attention cache; pos: (B,) the new token's position.  Writes
+        the new K/V into the cache and attends over positions <= pos —
+        exactly the causal column the full recompute would produce.
+        """
+        B = h.shape[0]
+        hn = self.norm1(h)
+        q, k, v = self.self_attn._qkv(hn, hn, hn)  # (B, 1, H, dk)
+        cache_k = cache_k.at[jnp.arange(B), pos].set(k[:, 0])
+        cache_v = cache_v.at[jnp.arange(B), pos].set(v[:, 0])
+        ha = self.self_attn.attend_kv(hn, cache_k, cache_v, self_mask, True)
+        x = h + ha
+
+        hn = self.norm2(x)
+        hc = self.src_attn.attend_kv(
+            hn, cross_kv[0], cross_kv[1], memory_mask, True
+        )
+        x = x + hc
+
+        hn = self.norm3(x)
+        return x + self.feed_forward(hn, True), cache_k, cache_v
+
+    def __call__(
+        self, x, tgt_mask, memory, memory_mask, deterministic: bool = True,
+        cross_kv=None,
+    ):
+        drop = self.drop
+        h = self.norm1(x)
+        h = self.self_attn(h, h, h, tgt_mask, deterministic)
         x = x + drop(h, deterministic=deterministic)
 
-        h = nn.LayerNorm(epsilon=1e-12, name="norm2")(x)
-        h = MultiHeadAttention(
-            self.num_heads, self.hidden_size, self.dropout_attn_rate,
-            name="src_attn",
-        )(h, memory, memory, memory_mask, deterministic)
+        h = self.norm2(x)
+        if cross_kv is not None:
+            h = self.src_attn.attend_kv(
+                h, cross_kv[0], cross_kv[1], memory_mask, deterministic
+            )
+        else:
+            h = self.src_attn(h, memory, memory, memory_mask, deterministic)
         x = x + drop(h, deterministic=deterministic)
 
-        h = nn.LayerNorm(epsilon=1e-12, name="norm3")(x)
-        h = PositionwiseFeedForward(
-            self.intermediate_size, self.hidden_size, self.dropout_rate,
-            name="feed_forward",
-        )(h, deterministic)
+        h = self.norm3(x)
+        h = self.feed_forward(h, deterministic)
         return x + drop(h, deterministic=deterministic)
 
 

@@ -36,6 +36,7 @@ class _State(NamedTuple):
     step: jnp.ndarray
     hyps: jnp.ndarray  # (B, W, Lmax), leading eos
     lens: jnp.ndarray  # (B, W)
+    caches: Optional[list]  # per-layer (k, v) with (B, W, Lmax, ...) leaves
     scores: jnp.ndarray  # (B, W)
     score_ctc: jnp.ndarray  # (B, W)
     ctc_state: Optional[jnp.ndarray]  # (B, W, T, 2)
@@ -59,11 +60,16 @@ def attention_beam_search(
     decode_ctc_weight: float = 0.0,
     ctc_log_probs: Optional[jnp.ndarray] = None,
     max_decode_ylen: int = 256,
+    cached_step: Optional[Tuple[Callable, Callable]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Label-sync beam search over a batch.
 
     step_fn(flat_hyps (N, Lmax), flat_lens (N,), eouts_rep (N, T, E),
             elens_rep (N,)) -> logits (N, V): one-step decoder forward.
+    `cached_step` = (init_cache(N, Lmax) -> caches,
+    step(tokens (N,), pos (N,), caches) -> (logits, caches)) switches to
+    incremental KV-cached decoding (O(1) work per step instead of
+    re-encoding the whole prefix); caches are beam-gathered on pruning.
     Returns (hyps (B, W, Lmax) WITHOUT eos framing trimmed — leading eos
     kept, internal eos possible — lens, scores), results best-first.
     """
@@ -76,10 +82,20 @@ def attention_beam_search(
     lm_weight = lm.weight if lm is not None else 0.0
 
     hyps0 = jnp.full((B, W, Lmax), eos_id, jnp.int32)
+
+    caches0 = None
+    if cached_step is not None:
+        init_cache_fn, step_cached_fn = cached_step
+        caches0 = jax.tree_util.tree_map(
+            lambda x: x.reshape((B, W) + x.shape[1:]),
+            init_cache_fn(B * W, Lmax),
+        )
+
     state = _State(
         step=jnp.int32(0),
         hyps=hyps0,
         lens=jnp.ones((B, W), jnp.int32),
+        caches=caches0,
         scores=jnp.where(jnp.arange(W)[None, :] == 0, 0.0, DEAD)
         .astype(jnp.float32).repeat(B, 0).reshape(B, W),
         score_ctc=jnp.zeros((B, W), jnp.float32),
@@ -113,7 +129,22 @@ def attention_beam_search(
 
         flat_hyps = state.hyps.reshape(B * W, Lmax)
         flat_lens = jnp.maximum(state.lens.reshape(B * W), 1)
-        logits = step_fn(flat_hyps, flat_lens, eouts_rep, elens_rep)
+        if cached_step is not None:
+            last_tok = jnp.take_along_axis(
+                flat_hyps, (flat_lens - 1)[:, None], axis=1
+            )[:, 0]
+            flat_caches = jax.tree_util.tree_map(
+                lambda x: x.reshape((B * W,) + x.shape[2:]), state.caches
+            )
+            logits, new_flat_caches = step_cached_fn(
+                last_tok, flat_lens - 1, flat_caches
+            )
+            new_caches = jax.tree_util.tree_map(
+                lambda x: x.reshape((B, W) + x.shape[1:]), new_flat_caches
+            )
+        else:
+            logits = step_fn(flat_hyps, flat_lens, eouts_rep, elens_rep)
+            new_caches = None
         scores_att = jax.nn.log_softmax(
             logits.astype(jnp.float32), -1
         ).reshape(B, W, V)
@@ -224,6 +255,10 @@ def attention_beam_search(
             step=state.step + 1,
             hyps=new_hyps,
             lens=new_lens,
+            caches=(
+                gather_beams(new_caches, parent)
+                if cached_step is not None else None
+            ),
             scores=cont_scores,
             score_ctc=new_score_ctc,
             ctc_state=new_ctc_state,

@@ -58,12 +58,14 @@ def ctc_prefix_score_step(
         hyps, jnp.maximum(hyp_lens - 1, 0)[:, :, None], axis=2
     )[:, :, 0]  # (B, W)
 
-    # xs: per-candidate emissions (B, W, K, T)
-    xs = jnp.take_along_axis(
-        log_probs[:, None, :, :].repeat(W, 1),
-        cs[:, :, None, :].astype(jnp.int32).repeat(T, 2),
-        axis=3,
-    ).transpose(0, 1, 3, 2)
+    # xs: per-candidate emissions (B, W, K, T), extracted as a one-hot
+    # MXU matmul.  A take_along_axis gather over the (B, T, V) table costs
+    # ~10 ms/step at L3-decode sizes (random HBM access); the equivalent
+    # (WK, V) x (V, T) matmul is ~6 GFLOP and essentially free.
+    onehot = jax.nn.one_hot(
+        cs.reshape(B, W * K), V, dtype=log_probs.dtype
+    )  # (B, WK, V)
+    xs = jnp.einsum("bjv,btv->bjt", onehot, log_probs).reshape(B, W, K, T)
     blanks = log_probs[:, :, blank_id][:, None, None, :]  # (B, 1, 1, T)
 
     r_sum = jnp.logaddexp(r_prev[..., 0], r_prev[..., 1])  # (B, W, T)
@@ -84,37 +86,47 @@ def ctc_prefix_score_step(
     # psi starts at r[start-1, 0]
     psi0 = init_r0
 
-    elens_bw = elens[:, None, None]  # (B, 1, 1)
+    # The recurrences
+    #   r0[t] = LSE(r0[t-1], phi[t-1]) + xs[t]
+    #   r1[t] = LSE(r0[t-1], r1[t-1]) + blank[t]
+    # are first-order LINEAR in the (LSE, +) semiring, so instead of a
+    # T-long sequential scan (248 tiny steps dominated the whole attention
+    # beam's step cost) they run as two Kogge-Stone parallel scans of
+    # log2(T) vectorized sweeps each (ops/rnnt._log_linear_scan).
+    # Per-beam [start, elen) masking is encoded in the coefficients:
+    # outside the window a=identity(0), b=LOG_0 carries the row forward.
+    from emoasr_tpu.ops.rnnt import _log_linear_scan
 
-    def scan_body(carry, t):
-        r0, r1, psi = carry  # (B, W, K) each; state at t-1
-        run = (t >= start)[:, :, None] & (t < elens_bw[:, :, 0])[:, :, None]
-        xs_t = xs[:, :, :, t]
-        phi_tm1 = log_phi[:, :, :, t - 1]
-        new_r0 = jnp.logaddexp(r0, phi_tm1) + xs_t
-        new_r1 = jnp.logaddexp(r0, r1) + blanks[:, :, :, t]
-        new_psi = jnp.logaddexp(psi, phi_tm1 + xs_t)
-        r0 = jnp.where(run, new_r0, r0)
-        r1 = jnp.where(run, new_r1, r1)
-        psi = jnp.where(run, new_psi, psi)
-        return (r0, r1, psi), (r0, r1)
+    run = (
+        (t_idx[None, None, None, :] >= start[:, :, None, None])
+        & (t_idx[None, None, None, :] < elens[:, None, None, None])
+    )  # (B, W, 1, T)
 
-    # carries hold the row at t; we iterate t = start .. T-1, but start is
-    # per-beam so run over all t with masking.  Row start-1 values:
-    carry0 = (init_r0, jnp.full_like(init_r0, LOG_0), psi0)
-    (_, _, log_psi), rows = jax.lax.scan(
-        scan_body, carry0, jnp.arange(1, T)
+    phi_prev = jnp.concatenate(
+        [jnp.full_like(log_phi[..., :1], LOG_0), log_phi[..., :-1]], axis=-1
+    )  # phi[t-1] at position t
+
+    a0 = jnp.where(run, xs, 0.0)
+    b0 = jnp.where(run, phi_prev + xs, LOG_0)
+    # row start-1 carries the init value
+    at_init = t_idx[None, None, None, :] == (start - 1)[:, :, None, None]
+    b0 = jnp.where(at_init, init_r0[..., None], b0)
+    r0_full = _log_linear_scan(a0, b0)  # (B, W, K, T)
+
+    r0_prev = jnp.concatenate(
+        [jnp.full_like(r0_full[..., :1], LOG_0), r0_full[..., :-1]], axis=-1
     )
-    r0_rows, r1_rows = rows  # (T-1, B, W, K)
+    a1 = jnp.where(run, blanks, 0.0)
+    b1 = jnp.where(run, r0_prev + blanks, LOG_0)
+    r1_full = _log_linear_scan(a1, b1)  # (B, W, K, T)
 
-    # assemble r_new rows: row t for t >= start holds the computed value;
-    # rows below start-1 are dead, row start-1 holds the init
-    r0_full = jnp.concatenate([carry0[0][None], r0_rows], axis=0)
-    r1_full = jnp.concatenate([carry0[1][None], r1_rows], axis=0)
-    # r*_full[t] currently holds the carry AFTER processing t (for t>=1) or
-    # init (t=0); masked scan already froze rows outside [start, elen)
-    r_new = jnp.stack([r0_full, r1_full], axis=-1)  # (T, B, W, K, 2)
-    r_new = r_new.transpose(1, 2, 3, 0, 4)  # (B, W, K, T, 2)
+    # psi = LSE(psi0, LSE_{t in [start, elen)} phi[t-1] + xs[t])
+    contrib = jnp.where(run, phi_prev + xs, LOG_0)
+    log_psi = jnp.logaddexp(
+        psi0, jax.nn.logsumexp(contrib, axis=-1)
+    )
+
+    r_new = jnp.stack([r0_full, r1_full], axis=-1)  # (B, W, K, T, 2)
 
     # eos candidate: log(r_T^n(g) + r_T^b(g)) at the last valid frame
     r_sum_last = jnp.take_along_axis(

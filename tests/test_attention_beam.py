@@ -159,3 +159,40 @@ def test_attention_beam_batched_jit():
     np.testing.assert_allclose(
         np.asarray(s1)[0, 0], np.asarray(scores)[1, 0], rtol=1e-5
     )
+
+
+def test_cached_step_matches_forward_one_step():
+    """Incremental KV-cached decoding must equal full-prefix recompute."""
+    dec = _ref_decoder(7)
+    mine, variables, cfg = _mine_from_ref(dec)
+    rng = np.random.default_rng(7)
+    B, T, Lmax = 4, 9, 8
+    eouts = jnp.asarray(rng.normal(size=(B, T, 16)).astype(np.float32))
+    elens = jnp.asarray([9, 7, 5, 9])
+    emask = make_pad_mask(elens, T)[:, None, None, :]
+
+    cross_kvs = mine.apply(
+        variables, eouts, method=TransformerDecoder.precompute_cross_kv
+    )
+    caches = mine.apply(
+        variables, B, Lmax, method=lambda m, n, L: m.init_cache(n, L)
+    )
+
+    hyps = jnp.full((B, Lmax), 2, jnp.int32)
+    toks = rng.integers(3, V, size=(B, Lmax - 1))
+    for step in range(4):
+        lens = jnp.full((B,), step + 1, jnp.int32)
+        last = hyps[jnp.arange(B), lens - 1]
+        logits_c, caches = mine.apply(
+            variables, last, lens - 1, caches, cross_kvs, emask,
+            method=lambda m, *a: m.decode_step_cached(*a),
+        )
+        logits_f = mine.apply(
+            variables, hyps, lens, eouts, emask,
+            method=TransformerDecoder.forward_one_step,
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits_c), np.asarray(logits_f), rtol=1e-4, atol=1e-4,
+            err_msg=f"step {step}",
+        )
+        hyps = hyps.at[:, step + 1].set(jnp.asarray(toks[:, step]))
