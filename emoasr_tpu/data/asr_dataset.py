@@ -143,8 +143,12 @@ class ASRDataset:
             shuffle = self.phase == "train" and cfg.train_data_shuffle
         if drop_tail is None:
             drop_tail = self.phase == "train"
+        # manifest xlen is the RAW frame count (sort_bylen/prep_tsv write
+        # len(np.load(...))); the reference only converts to post-stack
+        # length inside __getitem__ (datasets.py:101).  Bucket caps above
+        # are already converted to raw frames (t * n).
         return BucketBatcher(
-            self.data["xlen"].values * n,
+            self.data["xlen"].values,
             self.data["ylen"].values,
             buckets,
             shuffle=shuffle,
@@ -202,7 +206,12 @@ class ASRDataset:
         }
         if self.use_phone:
             peos = cfg.phone_eos_id if cfg.phone_eos_id is not None else eos
-            batch["ps"] = pad_to([e["p"] for e in exs], max_ylen, peos).astype(
+            # phone sequences are typically much longer than BPE token
+            # sequences; pad to the batch's own phone length rounded up to
+            # a multiple of 32 (bounded shape set), NOT the word cap
+            max_plen = max(int(e["plen"]) for e in exs)
+            max_plen = ((max_plen + 31) // 32) * 32
+            batch["ps"] = pad_to([e["p"] for e in exs], max_plen, peos).astype(
                 np.int32
             )
             batch["plens"] = np.asarray([e["plen"] for e in exs], np.int32)

@@ -149,7 +149,7 @@ class Corrector:
             ps = jnp.asarray(hyp_phone)
             hyp_cor, cor_lens = self.lm_model.apply(
                 self.lm_variables, ps, jnp.asarray(phone_lens),
-                method=P2W.decode_greedy,
+                method=lambda m, p, pl: m.lm.decode_greedy(p, pl),
             )
             hyp_cor, cor_lens = np.asarray(hyp_cor), np.asarray(cor_lens)
             for b, utt_id in enumerate(batch["utt_ids"]):
@@ -236,13 +236,16 @@ def test_main(args):
     if args.lm_conf:
         lm_cfg = load_config(args.lm_conf)
         cascade = lm_cfg.lm_type == "pctc"
-        if lm_cfg.lm_type in ("pbert", "pctc", "ptransformer"):
-            lm_model = P2W(lm_cfg)
-        else:
-            lm_model = LM(lm_cfg)
+        # always go through the LM facade: train_lm saves checkpoints with
+        # the facade's parameter tree ({"lm": {...}}), so a bare P2W module
+        # would fail to find its parameters
+        lm_model = LM(lm_cfg)
         lm_path = get_model_path(args.lm_conf, args.lm_ep)
         tree = ckpt.load_model(lm_path)
-        lm_variables = {"params": tree["params"]}
+        params = tree["params"]
+        if "lm" not in params:  # tolerate bare-module checkpoints too
+            params = {"lm": params}
+        lm_variables = {"params": params}
 
     corr = Corrector(
         cfg, model, variables, lm_cfg, lm_model, lm_variables,

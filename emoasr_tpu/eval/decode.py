@@ -48,7 +48,14 @@ def build_decode_fn(
 
     dec_type = cfg.decoder_type
 
-    if beam_width <= 1 or (dec_type == "rnn_transducer" and decode_ctc_weight == 1):
+    # the attention decoder has no greedy path (the reference also runs its
+    # beam loop for width 1, transformer.py:160+); clamp to a 1-wide beam
+    if dec_type == "transformer" and beam_width <= 1:
+        beam_width = 1
+
+    if (beam_width <= 1 and dec_type != "transformer") or (
+        dec_type == "rnn_transducer" and decode_ctc_weight == 1
+    ):
         @jax.jit
         def decode_greedy(xs, xlens):
             xs, xlens = preprocess(cfg, xs, xlens, None, False)

@@ -166,9 +166,14 @@ def attention_beam_search(
                 ctc_log_probs, elens, state.hyps, state.lens, v_topb,
                 state.ctc_state, blank_id, eos_id,
             )
-            att_v = jnp.take_along_axis(scores_att, v_topb, axis=2)
+            # the reference re-scores (1-w)*scores + w*ctc_delta + lm, where
+            # `scores` was ALREADY att + lm (it aliases and mutates in
+            # place, transformer.py:220-244) — effective LM weight
+            # (2-w)*lm_weight.  Reproduced exactly: the published +CTC+SF
+            # operating points were tuned under this formula.
+            pre_v = jnp.take_along_axis(scores_pre, v_topb, axis=2)
             cand = (
-                (1 - decode_ctc_weight) * att_v
+                (1 - decode_ctc_weight) * pre_v
                 + decode_ctc_weight * (psi - state.score_ctc[:, :, None])
             )
             if lm is not None:

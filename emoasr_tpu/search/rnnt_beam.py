@@ -37,6 +37,7 @@ class _Beams(NamedTuple):
     dstates: jnp.ndarray  # (B, W, layers, 2, H) state for hyp[:-1]
     h1: jnp.ndarray
     h2: jnp.ndarray
+    lm_states: object  # fusion LM states with (B, W, ...) leaves, or None
 
 
 def rnnt_beam_search(
@@ -80,6 +81,7 @@ def rnnt_beam_search(
         dstates=jnp.zeros((B, W, num_layers, 2, dec_hidden), eouts.dtype),
         h1=h1,
         h2=h2,
+        lm_states=lm.init_states(B, W) if lm is not None else None,
     )
 
     b_idx = jnp.arange(B)[:, None]
@@ -111,6 +113,15 @@ def rnnt_beam_search(
         )
         a_h1 = jnp.zeros((B, A), jnp.uint32)
         a_h2 = jnp.zeros((B, A), jnp.uint32)
+        a_lm_states = (
+            jax.tree_util.tree_map(
+                lambda x: jnp.concatenate(
+                    [x] * NUM_EXPANDS, axis=1
+                ),
+                beams.lm_states,
+            )
+            if lm is not None and beams.lm_states is not None else None
+        )
 
         cur = beams
         for v_round in range(NUM_EXPANDS):
@@ -125,9 +136,6 @@ def rnnt_beam_search(
             ).reshape(B, W, vocab_size)
             sa = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
 
-            if lm is not None:
-                lm_logp, _ = lm.predict_beams(cur.hyps, cur.lens, None)
-
             # ---- blank expansion into the A pool (dstate NOT advanced) ----
             sl = slice(v_round * W, (v_round + 1) * W)
             blank_sc = jnp.where(
@@ -139,6 +147,10 @@ def rnnt_beam_search(
             a_dstates = a_dstates.at[:, sl].set(cur.dstates)
             a_h1 = a_h1.at[:, sl].set(cur.h1)
             a_h2 = a_h2.at[:, sl].set(cur.h2)
+            if a_lm_states is not None:
+                a_lm_states = jax.tree_util.tree_map(
+                    lambda a, c: a.at[:, sl].set(c), a_lm_states, cur.lm_states
+                )
 
             # ---- non-blank expansion (last round skips) ----
             if v_round < NUM_EXPANDS - 1:
@@ -146,6 +158,11 @@ def rnnt_beam_search(
                 # blank_id == 0 (rnn_transducer.py:301-303)
                 sa_nb = sa[:, :, 1:]
                 if lm is not None:
+                    # states advance only when a label is emitted; blank
+                    # candidates keep the pre-step LM state
+                    lm_logp, lm_new_states = lm.predict_beams(
+                        cur.hyps, cur.lens, cur.lm_states
+                    )
                     sa_nb = sa_nb + lm.weight * lm_logp[:, :, 1:]
                 top_sc, top_v = jax.lax.top_k(sa_nb, K)  # (B, W, K)
                 top_v = top_v + 1
@@ -178,6 +195,11 @@ def rnnt_beam_search(
                     dstates=gather_beams(new_dstates, parent),
                     h1=nh1,
                     h2=nh2,
+                    lm_states=(
+                        gather_beams(lm_new_states, parent)
+                        if lm is not None and lm_new_states is not None
+                        else cur.lm_states
+                    ),
                 )
 
         # ---- merge the A pool (first occurrence canonical) and prune ----
@@ -204,19 +226,23 @@ def rnnt_beam_search(
             dstates=gather_beams(a_dstates, top_idx),
             h1=jnp.take_along_axis(a_h1, top_idx, axis=1),
             h2=jnp.take_along_axis(a_h2, top_idx, axis=1),
+            lm_states=(
+                gather_beams(a_lm_states, top_idx)
+                if a_lm_states is not None else None
+            ),
         )
 
-        out = _Beams(
-            *[
-                jax.tree_util.tree_map(
-                    lambda n, o: jnp.where(
-                        active_b.reshape((B,) + (1,) * (n.ndim - 1)), n, o
-                    ),
-                    nf, of,
-                )
-                for nf, of in zip(new_beams, beams)
-            ]
-        )
+        def pick(nf, of):
+            if nf is None:
+                return None
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(
+                    active_b.reshape((B,) + (1,) * (n.ndim - 1)), n, o
+                ),
+                nf, of,
+            )
+
+        out = _Beams(*[pick(nf, of) for nf, of in zip(new_beams, beams)])
         return out, None
 
     e_seq = eouts.transpose(1, 0, 2)  # (T, B, E)

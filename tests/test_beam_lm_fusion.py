@@ -133,3 +133,57 @@ def test_ctc_beam_rnnlm_fusion_matches_oracle():
     assert set(got) == set(want), (got, want)
     for k in want:
         np.testing.assert_allclose(got[k], want[k], rtol=1e-4, atol=1e-4)
+
+
+def test_rnnt_beam_rnnlm_fusion_states_thread():
+    """RNN-LM fusion in the ALSD beam must carry states along hypotheses
+    (regression: states were reset to zero each round)."""
+    from emoasr_tpu.models.decoders.rnnt import RNNTDecoder
+    from emoasr_tpu.search.rnnt_beam import rnnt_beam_search
+
+    cfg = config_from_dict(
+        dict(
+            decoder_type="rnn_transducer", vocab_size=10, enc_hidden_size=12,
+            dec_hidden_size=12, dec_num_layers=1, embedding_size=8,
+            joint_hidden_size=12,
+        )
+    )
+    dec = RNNTDecoder(cfg)
+    lm_cfg = config_from_dict(
+        dict(lm_type="rnn", vocab_size=10, embedding_size=8, hidden_size=12,
+             num_layers=1, dropout_rate=0.0)
+    )
+    lm = RNNLM(lm_cfg)
+    rng = np.random.default_rng(4)
+    B, T, E = 2, 6, 12
+    eouts = jnp.asarray(rng.normal(size=(B, T, E)).astype(np.float32))
+    elens = jnp.asarray([6, 4])
+
+    def _init_all(mdl, tokens, e_t):
+        d, _ = mdl.recurrency(tokens, None)
+        return mdl.joint_step(e_t, d[:, 0])
+
+    dvars = dec.init(jax.random.PRNGKey(0), jnp.zeros((1, 1), jnp.int32),
+                     jnp.zeros((1, E)), method=_init_all)
+    lvars = lm.init(jax.random.PRNGKey(1), jnp.zeros((1, 2), jnp.int32),
+                    jnp.asarray([2]))
+
+    def rec(tok, ds):
+        d, s = dec.apply(dvars, tok, ds, method=RNNTDecoder.recurrency)
+        return d[:, 0], s
+
+    def joint(e, d):
+        return dec.apply(dvars, e, d, method=RNNTDecoder.joint_step)
+
+    fusion = make_lm_fusion(lm, lvars, weight=0.4)
+    hyps, lens, scores = rnnt_beam_search(
+        eouts, elens, rec, joint, num_layers=1, dec_hidden=12, beam_width=2,
+        vocab_size=10, lm=fusion,
+    )
+    assert bool(jnp.isfinite(scores[:, 0]).all())
+    # with fusion off, scores must differ (LM actually contributes)
+    h2, l2, s2 = rnnt_beam_search(
+        eouts, elens, rec, joint, num_layers=1, dec_hidden=12, beam_width=2,
+        vocab_size=10, lm=None,
+    )
+    assert not np.allclose(np.asarray(scores), np.asarray(s2))
