@@ -274,6 +274,59 @@ def make_utts_stm(
     return tsv_path
 
 
+def make_utts_json(
+    data_dir: str, out_wav_dir: str, tsv_path: str, json_ext: str = ".json"
+) -> str:
+    """EuroParl-ASR segmentation from released json files
+    (`corpora/epasr/make_utts_json.py`): sessions organized as
+    data_dir/tN/date/id/{*.wav, *.json}; each json holds segments with
+    fields b/e (times) and wl (word list, field w).  Requires sox.
+    """
+    import json as _json
+    import subprocess
+
+    rows = []
+    for d1 in sorted(os.listdir(data_dir)):
+        p1 = os.path.join(data_dir, d1)
+        if not os.path.isdir(p1):
+            continue
+        for d2 in sorted(os.listdir(p1)):
+            p2 = os.path.join(p1, d2)
+            for d3 in sorted(os.listdir(p2)):
+                p3 = os.path.join(p2, d3)
+                wav_path = json_path = ""
+                for f in os.listdir(p3):
+                    if f.endswith(".wav"):
+                        wav_path = os.path.join(p3, f)
+                    if f.endswith(json_ext):
+                        json_path = os.path.join(p3, f)
+                assert wav_path and json_path, p3
+                utt_prefix = os.path.basename(wav_path).replace(
+                    "ep-asr.en.orig.", ""
+                ).replace(".wav", "")
+                odir = os.path.join(out_wav_dir, utt_prefix)
+                os.makedirs(odir, exist_ok=True)
+                with open(json_path) as f:
+                    sections = _json.load(f)
+                for sec in sections:
+                    s, e = float(sec["b"]), float(sec["e"])
+                    text = " ".join(w["w"] for w in sec["wl"])
+                    utt_id = (
+                        f"{utt_prefix}-{str(int(s * 100)).zfill(7)}"
+                        f"-{str(int(e * 100)).zfill(7)}"
+                    )
+                    out_wav = os.path.join(odir, f"{utt_id}.wav")
+                    cp = subprocess.run(
+                        ["sox", wav_path, out_wav, "trim", f"{s:.2f}", f"={e:.2f}"]
+                    )
+                    assert cp.returncode == 0
+                    rows.append((utt_id, out_wav, text))
+    pd.DataFrame(rows, columns=["utt_id", "wav_path", "text"]).to_csv(
+        tsv_path, sep="\t", index=False
+    )
+    return tsv_path
+
+
 def join_suffix(tsv_path: str) -> str:
     """Join clitic suffixes: "it 's" -> "it's" (ted2/join_suffix.py:6-25)."""
 
@@ -412,9 +465,16 @@ def main():
     s.add_argument("out_wav_dir"); s.add_argument("tsv_path")
     s.add_argument("--extend_time", action="store_true")
     s.add_argument("--speed_perturb", action="store_true")
+    s = sub.add_parser("make_utts_json")
+    s.add_argument("data_dir"); s.add_argument("out_wav_dir")
+    s.add_argument("tsv_path"); s.add_argument("--json_ext", default=".json")
     s = sub.add_parser("join_suffix"); s.add_argument("tsv_path")
     s = sub.add_parser("prep_tsv"); s.add_argument("tsv_path")
     s.add_argument("--norm_suffix", default="norm")
+    s = sub.add_parser("get_cols"); s.add_argument("tsv_path")
+    s.add_argument("-cols", nargs="+", required=True)
+    s = sub.add_parser("rm_utt"); s.add_argument("tsv_path")
+    s.add_argument("-utt_ids", nargs="+", required=True)
     s = sub.add_parser("spm_train"); s.add_argument("text_path")
     s.add_argument("-model_prefix", required=True)
     s.add_argument("-vocab_size", type=int, required=True)
@@ -439,10 +499,17 @@ def main():
     elif args.cmd == "make_utts_stm":
         print(make_utts_stm(args.stm_dir, args.wav_dir, args.out_wav_dir,
                             args.tsv_path, args.extend_time, args.speed_perturb))
+    elif args.cmd == "make_utts_json":
+        print(make_utts_json(args.data_dir, args.out_wav_dir, args.tsv_path,
+                             args.json_ext))
     elif args.cmd == "join_suffix":
         print(join_suffix(args.tsv_path))
     elif args.cmd == "prep_tsv":
         print(prep_tsv(args.tsv_path, args.norm_suffix))
+    elif args.cmd == "get_cols":
+        print(get_cols(args.tsv_path, args.cols))
+    elif args.cmd == "rm_utt":
+        print(rm_utt(args.tsv_path, args.utt_ids))
     elif args.cmd == "spm_train":
         spm_train(args.text_path, args.model_prefix, args.vocab_size)
     elif args.cmd == "spm_encode":

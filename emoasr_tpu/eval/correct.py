@@ -256,6 +256,30 @@ def test_main(args):
     dataset = ASRDataset(cfg, data_path, phase="test")
     batcher = dataset.make_batcher(shuffle=False, drop_tail=False)
 
+    if args.runtime:
+        # RTF protocol of test_asr_correct.py:312-348
+        rtfs = []
+        for j in range(args.runtime_num_repeats):
+            t0 = time.time()
+            n_done, wavtime = 0, 0.0
+            for batch in dataset.batches(batcher):
+                results = corr.correct_batch(batch)
+                for utt_id, *_ in results:
+                    parts = re.split("_|-", utt_id)
+                    wavtime += (
+                        int(parts[-1]) - int(parts[-2])
+                    ) / args.wavtime_factor
+                    n_done += 1
+                    if n_done >= args.runtime_num_samples:
+                        break
+                if n_done >= args.runtime_num_samples:
+                    break
+            rtf = (time.time() - t0) / max(wavtime, 1e-9)
+            logging.info(f"Run {j + 1} | RTF: {rtf:.5f}")
+            rtfs.append(rtf)
+        logging.info(f"Averaged RTF {np.mean(rtfs):.5f}")
+        return None
+
     rows = []
     n_masked_total = n_tokens_total = 0
     t0 = time.time()
@@ -297,6 +321,10 @@ def build_argparser():
     parser.add_argument("--lm_ep", type=str, default=None)
     parser.add_argument("--mask_th", type=float, default=0.5)
     parser.add_argument("--lm_weight", type=float, default=0.5)
+    parser.add_argument("--runtime", action="store_true")
+    parser.add_argument("--runtime_num_samples", type=int, default=20)
+    parser.add_argument("--runtime_num_repeats", type=int, default=5)
+    parser.add_argument("--wavtime_factor", type=float, default=1000)
     return parser
 
 

@@ -194,12 +194,32 @@ def main(args):
     )
 
 
+def eval_label_main(args):
+    """Soft-label accuracy CLI (replaces `asr/distill/eval_label.py`)."""
+    with open(args.pkl_path, "rb") as f:
+        labels = pickle.load(f)
+    dfref = pd.read_table(rel_to_abs_path(args.ref))
+    acc1, acck, cnt = accuracy(labels, dfref)
+    print(f"{cnt} tokens")
+    print(f"Accuracy top1: {acc1:.3f} topk: {acck:.3f}")
+    return acc1, acck, cnt
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
-    parser.add_argument("-lm_conf", type=str, required=True)
-    parser.add_argument("-lm_ep", type=str, required=True)
-    parser.add_argument("-data", type=str, required=True)
-    parser.add_argument("-save_path", type=str, required=True)
-    parser.add_argument("--topk", type=int, default=8)
-    parser.add_argument("--temp", type=float, default=3.0)
-    main(parser.parse_args())
+    sub = parser.add_subparsers(dest="cmd")
+    mk = sub.add_parser("make")
+    mk.add_argument("-lm_conf", type=str, required=True)
+    mk.add_argument("-lm_ep", type=str, required=True)
+    mk.add_argument("-data", type=str, required=True)
+    mk.add_argument("-save_path", type=str, required=True)
+    mk.add_argument("--topk", type=int, default=8)
+    mk.add_argument("--temp", type=float, default=3.0)
+    ev = sub.add_parser("eval")
+    ev.add_argument("pkl_path", type=str)
+    ev.add_argument("-ref", type=str, required=True)
+    args = parser.parse_args()
+    if args.cmd == "eval":
+        eval_label_main(args)
+    else:
+        main(args)

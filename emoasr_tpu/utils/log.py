@@ -38,6 +38,17 @@ def setup_logging(log_path: str | None = None, level=logging.INFO) -> None:
     )
 
 
+def print_topk_probs(probs, vocab, k: int = 5) -> None:
+    """Debug printer: per-position top-k tokens and probs (log.py:36-45)."""
+    import numpy as np
+
+    for prob in np.asarray(probs):
+        order = np.argsort(-prob)[:k]
+        print(
+            " | ".join(f"{vocab.i2t[int(v)]}: {prob[v]:.3f}" for v in order)
+        )
+
+
 def log_provenance() -> None:
     """Log host/devices/pid/commit, mirroring train_asr.py:205-212."""
     import jax
