@@ -106,3 +106,55 @@ def test_train_cli_then_eval_cli_overfits(tmp_path, decoder):
     _, _, wer, wer_info = out
     # 20 epochs on 32 deterministic utterances: near-perfect transcription
     assert wer < 15.0, wer_info
+
+
+def test_overfit_model_beam_decode(tmp_path):
+    """Beam decode on a trained model through the eval CLI (also covers the
+    conformer batch_stats save/load path)."""
+    tsv, vocab = _make_corpus(tmp_path, n_utts=16)
+    conf = dict(
+        encoder_type="conformer",
+        pos_encode_type="rel",
+        decoder_type="ctc",
+        input_layer="linear",
+        feat_dim=16,
+        enc_hidden_size=32,
+        enc_num_attention_heads=2,
+        enc_num_layers=1,
+        enc_intermediate_size=64,
+        conv_kernel_size=7,
+        vocab_size=12,
+        vocab_path=vocab,
+        train_path=tsv,
+        test_path=tsv,
+        buckets=[[32, 8]],
+        batch_size=8,
+        max_xlens_batch=512,
+        max_ylens_batch=64,
+        num_epochs=40,
+        learning_rate=5.0,
+        lr_schedule_type="noam",
+        num_warmup_steps=40,
+        dropout_enc_rate=0.0,
+        dropout_attn_rate=0.0,
+        spec_augment=False,
+        clip_grad_norm=5.0,
+        log_step=50,
+        save_step=40,
+        seed=0,
+    )
+    conf_path = tmp_path / "overfit_cf.yaml"
+    conf_path.write_text(yaml.safe_dump(conf))
+    train(str(conf_path))
+
+    wers = {}
+    for beam in (0, 3):
+        args = build_argparser().parse_args(
+            ["-conf", str(conf_path), "-ep", "40", "--beam_width", str(beam)]
+        )
+        out = run_test_main(args)
+        assert out is not None
+        wers[beam] = out[2]
+    assert wers[0] < 25.0, wers
+    # prefix beam must not be (much) worse than greedy on a trained model
+    assert wers[3] <= wers[0] + 5.0, wers
