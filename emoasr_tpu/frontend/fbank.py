@@ -117,7 +117,9 @@ def log_mel_fbank(
     power = (spec.real ** 2 + spec.imag ** 2).astype(jnp.float32)
 
     banks = jnp.asarray(mel_banks(num_bins))  # (257, num_bins)
-    mel = power @ banks
+    # HIGHEST precision: the default bf16 matmul passes cost ~0.4% relative
+    # error on mel energies, breaking float32-level kaldi compatibility
+    mel = jnp.matmul(power, banks, precision=jax.lax.Precision.HIGHEST)
     feats = jnp.log(jnp.maximum(mel, EPS))
 
     flens = jnp.minimum(num_frames(wav_lens), T).astype(jnp.int32)

@@ -119,17 +119,7 @@ def ctc_loss_fn(
 # ---------------------------------------------------------------------------
 
 
-def _flip_time(x: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
-    """Reverse the valid prefix of axis 1 per batch element.
-
-    x: (B, T, ...); element t maps to (lens-1-t) mod T.  Values at t >= len
-    land in arbitrary positions and must be masked by the caller (same
-    contract as `ctc_aligner.py:27-84`'s rotate+flip).
-    """
-    B, T = x.shape[0], x.shape[1]
-    idx = (lens[:, None] - 1 - jnp.arange(T)[None, :]) % T  # (B, T)
-    idx = idx.reshape(idx.shape + (1,) * (x.ndim - 2)).astype(jnp.int32)
-    return jnp.take_along_axis(x, idx, axis=1)
+from emoasr_tpu.ops.common import flip_by_length as _flip_time  # noqa: E402
 
 
 def _pre_emission_scan(lp_path, allow2, path_lens):

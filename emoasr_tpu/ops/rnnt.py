@@ -350,12 +350,7 @@ def _alpha_lattice(lp_blank, lp_label, xlens, ylens):
     return d[:, n_idx, u_idx]  # (B, T, U1)
 
 
-def _flip_axis1(x, lens):
-    """Reverse the valid prefix of axis 1 per batch element (mod wrap)."""
-    L = x.shape[1]
-    idx = ((lens[:, None] - 1 - jnp.arange(L)[None, :]) % L).astype(jnp.int32)
-    idx = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
-    return jnp.take_along_axis(x, idx, axis=1)
+from emoasr_tpu.ops.common import flip_by_length as _flip_axis1  # noqa: E402
 
 
 def _flip_axis2(x, lens):

@@ -25,14 +25,17 @@ import jax.numpy as jnp
 MAX_MASKS = 20  # adaptive cap (spec_augment.py:71-72)
 
 
-def _apply_masks(x, starts, widths, num_active, axis_len, axis):
+def _apply_masks(x, starts, widths, num_active, axis_len, axis, valid=None):
     """Zero/mean-mask along `axis` (1=time, 2=freq) given per-sample mask
-    params.  starts/widths: (B, MAX_MASKS); num_active: (B,)."""
+    params.  starts/widths: (B, MAX_MASKS); num_active: (B,); `valid`
+    (B, MAX_MASKS) additionally disables individual masks."""
     B = x.shape[0]
     pos = jnp.arange(axis_len)[None, None, :]  # (1, 1, L)
     s = starts[:, :, None]
     e = (starts + widths)[:, :, None]
     active = (jnp.arange(MAX_MASKS)[None, :, None] < num_active[:, None, None])
+    if valid is not None:
+        active = active & valid[:, :, None]
     hit = ((pos >= s) & (pos < e) & active).any(axis=1)  # (B, L)
     if axis == 1:
         return hit[:, :, None]
@@ -82,7 +85,11 @@ def spec_augment(
     ts = jax.random.randint(kt2, (B, MAX_MASKS), 0, 2 ** 30) % jnp.maximum(
         xlens[:, None] - tw, 1
     )
-    tmask = _apply_masks(xs, ts, tw, nmt, T, axis=1)
+    # masks that do not fit are skipped, like the reference's
+    # `if xlen - t <= 0: continue` (spec_augment.py:80-81) — otherwise a
+    # wide draw on a short utterance would zero the whole valid region
+    fits = tw < xlens[:, None]
+    tmask = _apply_masks(xs, ts, tw, nmt, T, axis=1, valid=fits)
 
     mask = fmask | tmask
     if replace_with_zero:

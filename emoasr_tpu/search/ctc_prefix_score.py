@@ -65,7 +65,13 @@ def ctc_prefix_score_step(
     onehot = jax.nn.one_hot(
         cs.reshape(B, W * K), V, dtype=log_probs.dtype
     )  # (B, WK, V)
-    xs = jnp.einsum("bjv,btv->bjt", onehot, log_probs).reshape(B, W, K, T)
+    # HIGHEST precision: the default TPU matmul runs bf16 passes, which
+    # perturbs emissions by ~1e-2 in log-space and re-ranks near-tied beam
+    # candidates vs the reference scorer (verified empirically)
+    xs = jnp.einsum(
+        "bjv,btv->bjt", onehot, log_probs,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(B, W, K, T)
     blanks = log_probs[:, :, blank_id][:, None, None, :]  # (B, 1, 1, T)
 
     r_sum = jnp.logaddexp(r_prev[..., 0], r_prev[..., 1])  # (B, W, T)
