@@ -64,22 +64,31 @@ def init_model(cfg: ExpConfig, model: ASR, rng):
 
 
 def greedy_valid_wer(cfg, model, state, dataset, vocab=None) -> float:
-    """Per-epoch greedy WER on the dev set (train_asr.py:146-184)."""
-    decode = jax.jit(
-        lambda v, x, l: model.apply(v, x, l, method=ASR.decode_greedy)
-    )
+    """Per-epoch greedy WER on the dev set (train_asr.py:146-184).
+
+    Attention decoders run a width-1 beam (the reference's decode with
+    beam_width=1); ctc/rnnt/las use their batched greedy paths."""
+    from emoasr_tpu.eval.decode import build_decode_fn
+    from emoasr_tpu.utils.converters import strip_eos
+
     variables = {"params": state.params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
+    decode_fn = build_decode_fn(model, variables, cfg, beam_width=1)
     hyps_all, refs_all = [], []
     for batch in dataset.batches():
-        xs, xlens = preprocess(
-            cfg, jnp.asarray(batch["xs"]), jnp.asarray(batch["xlens"]), None, False
+        hyps, hyp_lens, _ = decode_fn(
+            jnp.asarray(batch["xs"]), jnp.asarray(batch["xlens"])
         )
-        hyps, hyp_lens, _, _ = decode(variables, xs, xlens)
         hyps, hyp_lens = np.asarray(hyps), np.asarray(hyp_lens)
+        multi = hyps.ndim == 3
         for b in range(len(batch["utt_ids"])):
-            hyp_ids = hyps[b, : hyp_lens[b]].tolist()
+            if multi:
+                hyp_ids = strip_eos(
+                    hyps[b, 0, : hyp_lens[b, 0]].tolist(), cfg.eos_id
+                )
+            else:
+                hyp_ids = hyps[b, : hyp_lens[b]].tolist()
             ref_ids = batch["ys"][b, : batch["ylens"][b]].tolist()
             if vocab is not None:
                 hyps_all.append(vocab.ids2words(hyp_ids))
@@ -202,7 +211,7 @@ def train(conf_path: str, resume: bool = False, cfg: Optional[ExpConfig] = None,
         )
 
         # per-epoch greedy WER validation (train_asr.py:146-184)
-        if dev_dataset is not None and cfg.decoder_type in ("ctc", "rnn_transducer"):
+        if dev_dataset is not None:
             try:
                 wer = greedy_valid_wer(cfg, model, state, dev_dataset, vocab)
                 logging.info(f"epoch {epoch + 1} dev WER (greedy): {wer:.2f}")
