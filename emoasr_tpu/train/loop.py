@@ -157,7 +157,9 @@ def train(conf_path: str, resume: bool = False, cfg: Optional[ExpConfig] = None,
         )
         logging.info(f"optim loaded: {optim_path}")
 
-    train_step = make_train_step(model, cfg, tx, num_total_steps, mesh)
+    train_step = make_train_step(
+        model, cfg, tx, num_total_steps, mesh, params=state.params
+    )
 
     for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.time()

@@ -67,9 +67,43 @@ def preprocess(cfg: ExpConfig, xs, xlens, rng, train: bool):
     return xs, xlens
 
 
+def _state_shardings(mesh, tx, params):
+    """(TrainState-shaped sharding tree, batch sharding, replicated).
+
+    Params (and the optimizer moments, which mirror the param tree) get
+    Megatron-style specs over the mesh's "model" axis when present —
+    `parallel.mesh.param_partition_specs`; everything scalar/stat-like is
+    replicated, batches split over the leading "data" axis."""
+    from emoasr_tpu.parallel.mesh import param_partition_specs
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(mesh.axis_names[0]))
+    pspecs = param_partition_specs(params, mesh)
+
+    pdef = jax.tree_util.tree_structure(params)
+
+    def is_param_tree(x):
+        try:
+            return jax.tree_util.tree_structure(x) == pdef
+        except Exception:  # noqa: BLE001
+            return False
+
+    opt_shape = jax.eval_shape(tx.init, params)
+    opt_specs = jax.tree_util.tree_map(
+        lambda x: pspecs if is_param_tree(x) else repl,
+        opt_shape,
+        is_leaf=lambda x: is_param_tree(x),
+    )
+    state_specs = TrainState(
+        step=repl, params=pspecs, batch_stats=repl,
+        opt_state=opt_specs, epoch_scale=repl, skipped=repl,
+    )
+    return state_specs, data, repl
+
+
 def make_train_step(
     model, cfg: ExpConfig, tx, num_total_steps: Optional[int] = None,
-    mesh=None,
+    mesh=None, params=None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -150,6 +184,14 @@ def make_train_step(
     if mesh is not None and mesh.devices.size > 1:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P(mesh.axis_names[0]))
+        if params is not None and "model" in mesh.axis_names:
+            # dp x tp: params/moments laid out over the model axis
+            state_specs, data, repl = _state_shardings(mesh, tx, params)
+            return jax.jit(
+                step_fn,
+                in_shardings=(state_specs, data, repl),
+                out_shardings=(state_specs, repl),
+            )
         return jax.jit(
             step_fn,
             in_shardings=(repl, data, repl),
@@ -158,7 +200,8 @@ def make_train_step(
     return jax.jit(step_fn)
 
 
-def make_eval_loss_step(model, cfg: ExpConfig, mesh=None) -> Callable:
+def make_eval_loss_step(model, cfg: ExpConfig, mesh=None, tx=None,
+                        params=None) -> Callable:
     """Validation loss (no specaug, deterministic)."""
 
     def step_fn(state: TrainState, batch: Dict) -> Dict:
@@ -178,5 +221,10 @@ def make_eval_loss_step(model, cfg: ExpConfig, mesh=None) -> Callable:
     if mesh is not None and mesh.devices.size > 1:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P(mesh.axis_names[0]))
+        if params is not None and tx is not None and "model" in mesh.axis_names:
+            state_specs, data, repl = _state_shardings(mesh, tx, params)
+            return jax.jit(
+                step_fn, in_shardings=(state_specs, data), out_shardings=repl
+            )
         return jax.jit(step_fn, in_shardings=(repl, data), out_shardings=repl)
     return jax.jit(step_fn)
