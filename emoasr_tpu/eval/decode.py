@@ -179,4 +179,17 @@ def build_decode_fn(
 
         return decode_att_beam
 
+    if dec_type == "las":
+        @jax.jit
+        def decode_las_beam(xs, xlens):
+            eouts, elens, _ = encode(xs, xlens)
+            return model.apply(
+                variables, eouts, elens, beam_width, len_weight,
+                method=lambda m, e, el, w, lw: m.decoder.decode_beam(
+                    e, el, w, lw
+                ),
+            )
+
+        return decode_las_beam
+
     raise NotImplementedError(f"beam decode for {dec_type}")

@@ -262,6 +262,30 @@ class LASDecoder(nn.Module):
         (c, t, d, hyps, n), _ = jax.lax.scan(body, init, None, length=L)
         return hyps, n
 
+    def decode_beam(self, eouts, elens, beam_width, len_weight=0.0):
+        """Batched beam search (las.py:176-285; reference is bs=1 host
+        Python with stubbed LM/CTC fusion — attention scores only).
+
+        Returns (hyps (B, W, Lmax) with eos framing, lens, scores)."""
+        from emoasr_tpu.search.las_beam import las_beam_search
+
+        cfg = self.cfg
+        B, T, E = eouts.shape
+        W = beam_width
+        eouts_rep = jnp.broadcast_to(
+            eouts[:, None], (B, W, T, E)
+        ).reshape(B * W, T, E)
+        elens_rep = jnp.broadcast_to(elens[:, None], (B, W)).reshape(B * W)
+        step, carry0 = self._make_step(eouts_rep, elens_rep)
+        return las_beam_search(
+            step, carry0, B,
+            vocab_size=cfg.vocab_size,
+            beam_width=W,
+            eos_id=cfg.eos_id,
+            len_weight=len_weight,
+            max_decode_ylen=cfg.max_decode_ylen,
+        )
+
     def __call__(
         self,
         eouts,
