@@ -81,6 +81,15 @@ def main():
              mtl_ctc_weight=0.3, max_decode_ylen=64, dropout_dec_rate=0.0),
         8, 1000, [(10, {"len_weight": 2.0, "decode_ctc_weight": 0.3})],
     )
+    bench(
+        "LAS(Trf)",
+        dict(enc, encoder_type="transformer", decoder_type="las",
+             enc_hidden_size=256, enc_intermediate_size=2048,
+             dec_hidden_size=256, dec_num_layers=1,
+             dec_intermediate_size=256, embedding_size=128,
+             vocab_size=10000, max_decode_ylen=64, dropout_dec_rate=0.0),
+        8, 1000, [(0, {}), (4, {"len_weight": 1.0})],
+    )
     print()
     for r in rows:
         print(f"| {r[0]} | {r[1]} | {r[2]} |")
