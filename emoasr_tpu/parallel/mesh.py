@@ -58,8 +58,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
 # canonical Megatron pairing).  Anything un-matched (LayerNorm, convs,
 # LSTMs, biases of row-parallel layers) stays replicated.
 
-_COL_PARALLEL = ("w1", "linear_q", "linear_k", "linear_v", "linear_pos")
-_ROW_PARALLEL = ("w2", "linear_out")
+_COL_PARALLEL = (
+    "w1", "linear_q", "linear_k", "linear_v", "linear_pos",
+    "query", "key", "value", "intermediate",  # BERT-stack naming
+)
+_ROW_PARALLEL = ("w2", "linear_out", "attn_output")
 
 
 def _tp_spec(name: str, shape, tp: int):
@@ -77,8 +80,14 @@ def _tp_spec(name: str, shape, tp: int):
 
     if leafname == "embedding" and len(shape) == 2 and ok(0):
         return P("model", None)  # vocab-dim sharded embedding table
+    grandparent = parts[-3] if len(parts) >= 3 else ""
+    if module == "output" and grandparent.startswith("layers"):
+        # BERT-stack per-layer FFN down-projection: row-parallel
+        if leafname == "kernel" and ok(0):
+            return P(*(["model"] + [None] * (len(shape) - 1)))
+        return P()
     if module in _COL_PARALLEL or (
-        module == "output" and (len(parts) < 3 or parts[-3] != "conv")
+        module == "output" and grandparent != "conv"
     ):
         # column-parallel: shard the output features (last dim)
         if leafname == "kernel" and ok(len(shape) - 1):

@@ -38,7 +38,8 @@ def is_p2w(cfg: ExpConfig) -> bool:
     return cfg.lm_type in ("ptransformer", "pbert", "pctc")
 
 
-def make_lm_train_step(model: LM, cfg: ExpConfig, tx, num_total_steps, mesh=None):
+def make_lm_train_step(model: LM, cfg: ExpConfig, tx, num_total_steps,
+                       mesh=None, params=None):
     lr_fn = make_lr_fn(cfg, num_total_steps)
     disc_only = cfg.lm_type in ("electra-disc", "pelectra-disc")
 
@@ -93,6 +94,12 @@ def make_lm_train_step(model: LM, cfg: ExpConfig, tx, num_total_steps, mesh=None
 
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P(mesh.axis_names[0]))
+        if params is not None and "model" in mesh.axis_names:
+            from emoasr_tpu.train.step import _state_shardings
+
+            state_specs, data, repl = _state_shardings(mesh, tx, params)
+            return jax.jit(step_fn, in_shardings=(state_specs, data, repl),
+                           out_shardings=(state_specs, repl))
         return jax.jit(step_fn, in_shardings=(repl, data, repl),
                        out_shardings=(repl, repl))
     return jax.jit(step_fn)
@@ -174,7 +181,9 @@ def train(conf_path: str, resume: bool = False, cfg: Optional[ExpConfig] = None)
             skipped=jnp.asarray(tree["skipped"]),
         )
 
-    step_fn = make_lm_train_step(model, cfg, tx, num_total_steps, mesh)
+    step_fn = make_lm_train_step(
+        model, cfg, tx, num_total_steps, mesh, params=state.params
+    )
 
     for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.time()

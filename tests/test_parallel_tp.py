@@ -108,3 +108,88 @@ def test_tp_state_actually_sharded(setup):
     assert k.sharding.spec[-1] == "model"
     # each device holds only 1/tp of the column-parallel kernel
     assert k.addressable_shards[0].data.shape[-1] == k.shape[-1] // 2
+
+
+def test_lm_bert_tp_matches_dp():
+    """BERT LM training with the (data, model) mesh == pure DP; BERT-stack
+    naming (query/key/value/attn_output/intermediate/per-layer output) maps
+    to the Megatron pairs."""
+    from emoasr_tpu.config import config_from_dict
+    from emoasr_tpu.models.lm.lm import LM
+    from emoasr_tpu.train.train_lm import make_lm_train_step
+
+    cfg = config_from_dict(
+        dict(
+            lm_type="bert", vocab_size=32, hidden_size=32, num_layers=2,
+            num_attention_heads=2, intermediate_size=64, max_seq_len=16,
+            eos_id=2, mask_id=31, learning_rate=3e-3,
+            lr_schedule_type="lindecay", warmup_proportion=0.1,
+            weight_decay=0.01, batch_size=8,
+        )
+    )
+    model = LM(cfg)
+    rng = np.random.default_rng(0)
+    B, L = 8, 12
+    ys = rng.integers(3, 30, (B, L)).astype(np.int32)
+    # mask half the positions: with a single masked token the gradients are
+    # dominated by float-reassociation noise and Adam's first step is
+    # ~sign(g)*lr, so DP-vs-TP reduction order would flip signs
+    labels = np.full((B, L), -100, np.int32)
+    labels[:, ::2] = ys[:, ::2]
+    ys_masked = ys.copy()
+    ys_masked[:, ::2] = 31
+    batch = {
+        "ys_in": ys_masked,
+        "ylens": np.full((B,), L, np.int32),
+        "labels": labels,
+    }
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(batch["ys_in"]),
+        jnp.asarray(batch["ylens"]), jnp.asarray(batch["labels"]),
+    )
+    from emoasr_tpu.train.optim import build_optimizer
+
+    tx = build_optimizer(cfg, 100)
+
+    def run(mesh):
+        state = init_train_state(variables["params"], {}, tx)
+        step_fn = make_lm_train_step(
+            model, cfg, tx, 100, mesh, params=state.params
+        )
+        losses = []
+        for i in range(2):
+            state, metrics = step_fn(
+                state, shard_batch(mesh, batch), jax.random.PRNGKey(i)
+            )
+            losses.append(float(metrics["loss_total"]))
+        return losses, jax.device_get(state.params)
+
+    dp_losses, dp_params = run(make_mesh((8,), ("data",)))
+    tp_losses, tp_params = run(make_mesh((4, 2), ("data", "model")))
+    np.testing.assert_allclose(dp_losses, tp_losses, rtol=2e-4)
+    # the attention `key` bias is mathematically inert (a constant added to
+    # every key shifts all logits by the same q.b, which softmax cancels),
+    # so its gradient is exact-zero + float noise and Adam's first steps
+    # amplify the noise's sign to +-lr; exclude it from the strict compare
+    dp_flat = jax.tree_util.tree_flatten_with_path(dp_params)[0]
+    tp_flat = jax.tree_util.tree_flatten_with_path(tp_params)[0]
+    for (path, a), (_, c) in zip(dp_flat, tp_flat):
+        name = jax.tree_util.keystr(path)
+        if "key']['bias" in name:
+            continue
+        np.testing.assert_allclose(a, c, atol=2e-4, rtol=2e-3, err_msg=name)
+
+    # BERT-stack rule coverage: intermediate col-, per-layer output row-
+    mesh = make_mesh((4, 2), ("data", "model"))
+    specs = param_partition_specs(variables["params"], mesh)
+    flat = {
+        jax.tree_util.keystr(p): s.spec
+        for p, s in jax.tree_util.tree_flatten_with_path(specs)[0]
+    }
+    inter = [k for k in flat if "intermediate']['kernel" in k]
+    assert inter and all(flat[k][-1] == "model" for k in inter)
+    ffn_out = [
+        k for k in flat
+        if "']['output']['kernel" in k and "layers_" in k
+    ]
+    assert ffn_out and all(flat[k][0] == "model" for k in ffn_out)
