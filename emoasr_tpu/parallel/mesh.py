@@ -2,10 +2,11 @@
 
 The reference's only parallelism is single-process `torch.nn.DataParallel`
 replication (`asr/train_asr.py:236-242`, SURVEY.md §2.4).  The TPU-native
-equivalent is SPMD over a `jax.sharding.Mesh`: parameters replicated,
-batches sharded over the `data` axis, gradient all-reduce compiled by XLA
-onto ICI.  The mesh shape is config-driven (`mesh_shape`/`mesh_axes`) so a
-model-parallel axis can be added without touching call sites.
+equivalent is SPMD over a `jax.sharding.Mesh`: batches sharded over the
+`data` axis with the gradient all-reduce compiled by XLA onto ICI, and —
+beyond the reference — an optional Megatron-style tensor-parallel `model`
+axis (`param_partition_specs` below).  The mesh shape is config-driven
+(`mesh_shape`/`mesh_axes`).
 """
 
 from __future__ import annotations
