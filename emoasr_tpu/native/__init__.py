@@ -18,13 +18,39 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-_LIB_PATH = os.path.join(os.path.dirname(__file__), "libemoasr_native.so")
+_DIR = os.path.dirname(__file__)
+_LIB_PATH = os.path.join(_DIR, "libemoasr_native.so")
 _lib = None
+_build_attempted = False
+
+
+def _ensure_built() -> bool:
+    """Build the .so from source if missing (the binary is not tracked in
+    git).  Returns True when the library is present afterwards."""
+    global _build_attempted
+    if os.path.exists(_LIB_PATH):
+        return True
+    if _build_attempted:
+        return False
+    _build_attempted = True
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["sh", os.path.join(_DIR, "build.sh")],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        return False
+    return os.path.exists(_LIB_PATH)
 
 
 def _load():
     global _lib
     if _lib is None:
+        _ensure_built()
         lib = ctypes.CDLL(_LIB_PATH)
         lib.batch_edit_distance.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
@@ -41,7 +67,7 @@ def _load():
 
 
 def available() -> bool:
-    return os.path.exists(_LIB_PATH)
+    return _ensure_built()
 
 
 def _pack(seqs: Sequence[Sequence[int]]):
