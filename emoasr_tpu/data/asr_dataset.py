@@ -156,12 +156,28 @@ class ASRDataset:
             drop_tail=drop_tail,
         )
 
-    def collate(self, indices: List[int], max_xlen: int, max_ylen: int) -> Dict:
-        """Build one fixed-shape batch (pads with dummy rows if needed).
+    def collate(
+        self,
+        indices: List[int],
+        max_xlen: int,
+        max_ylen: int,
+        pad_to_batch: Optional[int] = None,
+    ) -> Dict:
+        """Build one fixed-shape batch.
+
+        With `pad_to_batch=B`, an undersized tail group is padded to B rows
+        by repeating the first utterance, so every batch of a bucket
+        compiles to ONE program shape.  `utt_ids`/`texts` keep the true
+        length (`n_valid` rows), so per-utterance consumer loops
+        (`for b, utt_id in enumerate(batch["utt_ids"])`) never see the
+        duplicated rows and WER aggregation is unaffected.
 
         Uses the native multithreaded .npy batch loader when built
         (emoasr_tpu/native/batch_loader.cpp)."""
         cfg = self.cfg
+        n_valid = len(indices)
+        if pad_to_batch is not None and n_valid < pad_to_batch:
+            indices = list(indices) + [indices[0]] * (pad_to_batch - n_valid)
         try:
             from emoasr_tpu import native as _native
 
@@ -195,8 +211,9 @@ class ASRDataset:
             ys_out[b, n] = eos
 
         batch = {
-            "utt_ids": [e["utt_id"] for e in exs],
-            "texts": [e["text"] for e in exs],
+            "utt_ids": [e["utt_id"] for e in exs[:n_valid]],
+            "texts": [e["text"] for e in exs[:n_valid]],
+            "n_valid": n_valid,
             "xs": xs,
             "xlens": xlens,
             "ys": ys.astype(np.int32),
@@ -231,4 +248,6 @@ class ASRDataset:
         n = self.cfg.num_framestacks
         for bi, indices in batcher:
             b = batcher.buckets[bi]
-            yield self.collate(indices, b.max_xlen, b.max_ylen)
+            yield self.collate(
+                indices, b.max_xlen, b.max_ylen, pad_to_batch=b.batch_size
+            )

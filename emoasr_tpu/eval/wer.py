@@ -119,10 +119,13 @@ def compute_wers(hyps: List[List], refs: List[List], vocab=None, cer: bool = Fal
     if vocab is not None:
         hyps = [vocab.ids2words(h) for h in hyps]
         refs = [vocab.ids2words(r) for r in refs]
+    # <dummy> substitution happens BEFORE the cer split, matching
+    # compute_wer (and metrics.py:29-31): an empty hyp scores as the 7
+    # characters of "<dummy>", not one token.
+    hyps = [h if len(h) else ["<dummy>"] for h in hyps]
     if cer:
         hyps = [list("".join(map(str, h))) for h in hyps]
         refs = [list("".join(map(str, r))) for r in refs]
-    hyps = [h if len(h) else ["<dummy>"] for h in hyps]
 
     if _native_ok and len(hyps) > 8:
         interned = _intern_tokens([*hyps, *refs])

@@ -184,7 +184,7 @@ def train(conf_path: str, resume: bool = False, cfg: Optional[ExpConfig] = None,
             n_acc += 1
             if (i + 1) % cfg.log_step == 0:
                 avg = {k: v / n_acc for k, v in accum.items()}
-                lr = avg.pop("lr", 0.0) * n_acc / max(n_acc, 1)
+                avg.pop("lr", None)  # reported from the live step below
                 loss_str = " ".join(
                     f"{k}: {v:.3f}" for k, v in avg.items() if k != "grad_finite"
                 )

@@ -17,7 +17,7 @@ per-step, so the whole update stays inside one jitted train step.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -139,9 +139,6 @@ def scale_updates(updates, lr):
     chain ends at scale(-1); lr is a traced scalar)."""
     return jax.tree_util.tree_map(lambda u: u * lr, updates)
 
-
-class SkipStats(NamedTuple):
-    skipped: jnp.ndarray  # int32 count of skipped (non-finite) steps
 
 
 def finite_or_zero(grads):

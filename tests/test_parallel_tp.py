@@ -173,11 +173,22 @@ def test_lm_bert_tp_matches_dp():
     # amplify the noise's sign to +-lr; exclude it from the strict compare
     dp_flat = jax.tree_util.tree_flatten_with_path(dp_params)[0]
     tp_flat = jax.tree_util.tree_flatten_with_path(tp_params)[0]
+    skipped = []
     for (path, a), (_, c) in zip(dp_flat, tp_flat):
         name = jax.tree_util.keystr(path)
         if "key']['bias" in name:
+            skipped.append(name)
             continue
         np.testing.assert_allclose(a, c, atol=2e-4, rtol=2e-3, err_msg=name)
+    # pin the carve-out to EXACTLY the per-layer self-attention key biases
+    # (one per encoder layer) so a growing exclusion can't hide a layout bug
+    import re
+
+    assert len(skipped) == cfg.num_layers, skipped
+    assert all(
+        re.search(r"layers_\d+'\]\['self_attn'\]\['key'\]\['bias", s)
+        for s in skipped
+    ), skipped
 
     # BERT-stack rule coverage: intermediate col-, per-layer output row-
     mesh = make_mesh((4, 2), ("data", "model"))
