@@ -183,8 +183,11 @@ class ExpConfig:
     # static shape buckets: list of (max_frames, max_tokens) pairs; data is
     # padded up to the smallest fitting bucket to avoid XLA recompilation.
     buckets: Tuple[Tuple[int, int], ...] = ((1600, 128), (800, 96), (400, 64), (200, 48))
+    # mixed precision: master params are always float32; when
+    # compute_dtype == "bfloat16" the jitted steps run forward activations
+    # in bf16 with f32 softmax/losses/norm-stats (utils/precision.py).
     param_dtype: str = "float32"
-    compute_dtype: str = "bfloat16"
+    compute_dtype: str = "float32"
     mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel axis; -1 = all devices
     mesh_axes: Tuple[str, ...] = ("data",)
 

@@ -41,9 +41,17 @@ def build_decode_fn(
     returns collapsed label sequences directly with scores = None-like
     zeros.
     """
+    from emoasr_tpu.utils.precision import cast_floating, dtype_of, is_half
+
+    if is_half(cfg):
+        # one-time cast: halve param HBM and run matmuls in bf16 (search
+        # scores/log-softmaxes stay float32 inside the search modules)
+        variables = cast_floating(variables, dtype_of(cfg))
 
     def encode(xs, xlens):
         xs, xlens = preprocess(cfg, xs, xlens, None, False)
+        if is_half(cfg):
+            xs = xs.astype(dtype_of(cfg))
         return model.apply(variables, xs, xlens, method=ASR.encode)
 
     dec_type = cfg.decoder_type
@@ -59,6 +67,8 @@ def build_decode_fn(
         @jax.jit
         def decode_greedy(xs, xlens):
             xs, xlens = preprocess(cfg, xs, xlens, None, False)
+            if is_half(cfg):
+                xs = xs.astype(dtype_of(cfg))
             hyps, hyp_lens, _, _ = model.apply(
                 variables, xs, xlens, decode_phone, method=ASR.decode_greedy
             )

@@ -23,6 +23,10 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from emoasr_tpu.config import ExpConfig
 from emoasr_tpu.ops.specaug import spec_augment
 from emoasr_tpu.train.optim import finite_or_zero, make_lr_fn, scale_updates
+from emoasr_tpu.utils.precision import (
+    cast_batch_for_compute,
+    cast_params_for_compute,
+)
 
 
 class TrainState(struct.PyTreeNode):
@@ -115,9 +119,13 @@ def make_train_step(
     def step_fn(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
         sa_rng, do_rng = jax.random.split(rng)
         xs, xlens = preprocess(cfg, batch["xs"], batch["xlens"], sa_rng, True)
+        xs = cast_batch_for_compute(cfg, xs)
 
         def loss_fn(params):
-            variables = {"params": params}
+            # mixed precision: the forward pass sees a compute-dtype copy of
+            # the float32 master params; the cast's transpose returns
+            # float32 gradients (utils/precision.py)
+            variables = {"params": cast_params_for_compute(cfg, params)}
             mutable = False
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
@@ -206,7 +214,8 @@ def make_eval_loss_step(model, cfg: ExpConfig, mesh=None, tx=None,
 
     def step_fn(state: TrainState, batch: Dict) -> Dict:
         xs, xlens = preprocess(cfg, batch["xs"], batch["xlens"], None, False)
-        variables = {"params": state.params}
+        xs = cast_batch_for_compute(cfg, xs)
+        variables = {"params": cast_params_for_compute(cfg, state.params)}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         loss, loss_dict = model.apply(

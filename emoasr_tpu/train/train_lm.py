@@ -45,7 +45,10 @@ def make_lm_train_step(model: LM, cfg: ExpConfig, tx, num_total_steps,
 
     def step_fn(state: TrainState, batch: Dict, rng):
         def loss_fn(params):
-            variables = {"params": params}
+            # mixed precision: forward in cfg.compute_dtype, f32 masters
+            from emoasr_tpu.utils.precision import cast_params_for_compute
+
+            variables = {"params": cast_params_for_compute(cfg, params)}
             rngs = {"sample": rng}
             if disc_only:
                 loss, loss_dict = model.apply(
