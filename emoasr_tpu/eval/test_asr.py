@@ -84,7 +84,9 @@ def load_asr_variables(model_path: str, cfg: ExpConfig):
     variables = {"params": params}
     if stats:
         variables["batch_stats"] = stats
-    return variables
+    # jnp leaves (one device_put), not numpy: decode paths index params
+    # under trace (e.g. LAS embedding gather)
+    return jax.tree_util.tree_map(jnp.asarray, variables)
 
 
 def load_lm(lm_conf: str, lm_path: str):

@@ -177,7 +177,8 @@ class LASDecoder(nn.Module):
         w_conv_k, w_conv_b = self.w_conv_k, self.w_conv_b
         w_score_k, w_score_b = self.w_score_k, self.w_score_b
         intermed_k, intermed_b = self.intermed_k, self.intermed_b
-        embedding = self.embed.embedding
+        # jnp (not raw numpy from a torch import): traced gather below
+        embedding = jnp.asarray(self.embed.embedding)
         out_kernel, out_bias = self.output.kernel, self.output.bias
 
         def output_fn(h):
