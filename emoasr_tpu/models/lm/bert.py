@@ -36,25 +36,56 @@ class BertSelfAttention(nn.Module):
     hidden_size: int
     dropout_rate: float = 0.1
 
-    @nn.compact
+    def setup(self):
+        self.query = nn.Dense(self.hidden_size)
+        self.key = nn.Dense(self.hidden_size)
+        self.value = nn.Dense(self.hidden_size)
+        self.attn_drop = nn.Dropout(self.dropout_rate)
+
     def __call__(self, x, mask, deterministic: bool = True):
         d_k = self.hidden_size // self.num_heads
         B, L, _ = x.shape
-        q = nn.Dense(self.hidden_size, name="query")(x)
-        k = nn.Dense(self.hidden_size, name="key")(x)
-        v = nn.Dense(self.hidden_size, name="value")(x)
-        q = q.reshape(B, L, self.num_heads, d_k)
-        k = k.reshape(B, L, self.num_heads, d_k)
-        v = v.reshape(B, L, self.num_heads, d_k)
+        q = self.query(x).reshape(B, L, self.num_heads, d_k)
+        k = self.key(x).reshape(B, L, self.num_heads, d_k)
+        v = self.value(x).reshape(B, L, self.num_heads, d_k)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
             jnp.asarray(d_k, x.dtype)
         )
         if mask is not None:
             scores = jnp.where(mask, scores, NEG_INF)
         attn = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(x.dtype)
-        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        attn = self.attn_drop(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, self.hidden_size)
         return out
+
+    def step(self, x, cache_k, cache_v, pos):
+        """Incremental causal attention for decoding (no reference
+        equivalent — the reference re-encodes the full prefix per step,
+        `lm/modeling/transformer.py:62-77`).
+
+        x: (B, D) hidden of the newest token; cache_k/v: (B, Lmax, H, dk);
+        pos: (B,) its position.  Writes K/V at pos and attends over
+        positions <= pos — the same column a full causal forward yields.
+        """
+        d_k = self.hidden_size // self.num_heads
+        B = x.shape[0]
+        Lmax = cache_k.shape[1]
+        q = self.query(x).reshape(B, self.num_heads, d_k)
+        k = self.key(x).reshape(B, self.num_heads, d_k)
+        v = self.value(x).reshape(B, self.num_heads, d_k)
+        bidx = jnp.arange(B)
+        cache_k = cache_k.at[bidx, pos].set(k)
+        cache_v = cache_v.at[bidx, pos].set(v)
+        scores = jnp.einsum("bhd,bkhd->bhk", q, cache_k) / jnp.sqrt(
+            jnp.asarray(d_k, x.dtype)
+        )
+        mask = jnp.arange(Lmax)[None, None, :] <= pos[:, None, None]
+        scores = jnp.where(mask, scores, NEG_INF)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(x.dtype)
+        out = jnp.einsum("bhk,bkhd->bhd", attn, cache_v).reshape(
+            B, self.hidden_size
+        )
+        return out, cache_k, cache_v
 
 
 class BertLayer(nn.Module):
@@ -66,24 +97,35 @@ class BertLayer(nn.Module):
     dropout_rate: float = 0.1
     attn_dropout_rate: float = 0.1
 
-    @nn.compact
-    def __call__(self, x, mask, deterministic: bool = True):
-        drop = nn.Dropout(self.dropout_rate)
-        h = BertSelfAttention(
-            self.num_heads, self.hidden_size, self.attn_dropout_rate,
-            name="self_attn",
-        )(x, mask, deterministic)
-        h = nn.Dense(self.hidden_size, name="attn_output")(h)
-        x = nn.LayerNorm(epsilon=1e-12, name="attn_norm")(
-            x + drop(h, deterministic=deterministic)
+    def setup(self):
+        self.self_attn = BertSelfAttention(
+            self.num_heads, self.hidden_size, self.attn_dropout_rate
         )
-        h = nn.Dense(self.intermediate_size, name="intermediate")(x)
+        self.attn_output = nn.Dense(self.hidden_size)
+        self.attn_norm = nn.LayerNorm(epsilon=1e-12)
+        self.intermediate = nn.Dense(self.intermediate_size)
+        self.output = nn.Dense(self.hidden_size)
+        self.output_norm = nn.LayerNorm(epsilon=1e-12)
+        self.drop = nn.Dropout(self.dropout_rate)
+
+    def _ff(self, x, deterministic):
+        h = self.intermediate(x)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.hidden_size, name="output")(h)
-        x = nn.LayerNorm(epsilon=1e-12, name="output_norm")(
-            x + drop(h, deterministic=deterministic)
-        )
-        return x
+        h = self.output(h)
+        return self.output_norm(x + self.drop(h, deterministic=deterministic))
+
+    def __call__(self, x, mask, deterministic: bool = True):
+        h = self.self_attn(x, mask, deterministic)
+        h = self.attn_output(h)
+        x = self.attn_norm(x + self.drop(h, deterministic=deterministic))
+        return self._ff(x, deterministic)
+
+    def step(self, x, cache_k, cache_v, pos):
+        """Incremental decode for one new position; x: (B, D)."""
+        h, cache_k, cache_v = self.self_attn.step(x, cache_k, cache_v, pos)
+        h = self.attn_output(h)
+        x = self.attn_norm(x + h)
+        return self._ff(x, True), cache_k, cache_v
 
 
 class BertStack(nn.Module):
@@ -103,7 +145,34 @@ class BertStack(nn.Module):
     attn_dropout_rate: float = 0.1
     embedding_size: Optional[int] = None
 
-    @nn.compact
+    def setup(self):
+        E = self.embedding_size or self.hidden_size
+        self.word_embeddings = nn.Embed(self.vocab_size, E)
+        self.position_embeddings = nn.Embed(self.max_seq_len, E)
+        self.token_type_embeddings = nn.Embed(self.type_vocab_size, E)
+        self.emb_norm = nn.LayerNorm(epsilon=1e-12)
+        self.emb_drop = nn.Dropout(self.dropout_rate)
+        if E != self.hidden_size:
+            self.embeddings_project = nn.Dense(self.hidden_size)
+        self.layers = [
+            BertLayer(
+                self.num_heads, self.hidden_size, self.intermediate_size,
+                self.dropout_rate, self.attn_dropout_rate, name=f"layers_{i}",
+            )
+            for i in range(self.num_layers)
+        ]
+
+    def _embed(self, ys, positions, deterministic):
+        E = self.embedding_size or self.hidden_size
+        emb = self.word_embeddings(ys.astype(jnp.int32))
+        pos = self.position_embeddings(positions.astype(jnp.int32))
+        tok = self.token_type_embeddings(jnp.zeros(ys.shape, jnp.int32))
+        h = self.emb_norm(emb + pos + tok)
+        h = self.emb_drop(h, deterministic=deterministic)
+        if E != self.hidden_size:
+            h = self.embeddings_project(h)
+        return h
+
     def __call__(
         self,
         ys,
@@ -112,21 +181,7 @@ class BertStack(nn.Module):
         deterministic: bool = True,
     ):
         B, L = ys.shape
-        E = self.embedding_size or self.hidden_size
-        emb = nn.Embed(self.vocab_size, E, name="word_embeddings")(
-            ys.astype(jnp.int32)
-        )
-        pos = nn.Embed(self.max_seq_len, E, name="position_embeddings")(
-            jnp.arange(L)[None, :].astype(jnp.int32)
-        )
-        tok = nn.Embed(self.type_vocab_size, E, name="token_type_embeddings")(
-            jnp.zeros((B, L), jnp.int32)
-        )
-        h = emb + pos + tok
-        h = nn.LayerNorm(epsilon=1e-12, name="emb_norm")(h)
-        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        if E != self.hidden_size:
-            h = nn.Dense(self.hidden_size, name="embeddings_project")(h)
+        h = self._embed(ys, jnp.arange(L)[None, :], deterministic)
 
         mask = None
         if ylens is not None:
@@ -135,12 +190,31 @@ class BertStack(nn.Module):
             cm = make_causal_mask(L)[None, None, :, :]
             mask = cm if mask is None else (mask & cm)
 
-        for i in range(self.num_layers):
-            h = BertLayer(
-                self.num_heads, self.hidden_size, self.intermediate_size,
-                self.dropout_rate, self.attn_dropout_rate, name=f"layers_{i}",
-            )(h, mask, deterministic)
+        for layer in self.layers:
+            h = layer(h, mask, deterministic)
         return h
+
+    def init_cache(self, B: int, max_len: int, dtype=jnp.float32):
+        """Per-layer self-attention K/V caches for incremental causal
+        decoding: (num_layers, 2, B, max_len, H, dk)."""
+        d_k = self.hidden_size // self.num_heads
+        return jnp.zeros(
+            (self.num_layers, 2, B, max_len, self.num_heads, d_k), dtype
+        )
+
+    def step(self, tokens, pos, caches):
+        """One incremental causal step.
+
+        tokens: (B,) newest token ids; pos: (B,) their positions; caches:
+        as from `init_cache`.  Returns (h (B, D), new caches) — h equals
+        the full causal forward's hidden at `pos`.
+        """
+        h = self._embed(tokens[:, None], pos[:, None], True)[:, 0]
+        new_caches = []
+        for i, layer in enumerate(self.layers):
+            h, ck, cv = layer.step(h, caches[i, 0], caches[i, 1], pos)
+            new_caches.append(jnp.stack([ck, cv]))
+        return h, jnp.stack(new_caches)
 
 
 class BertMLMHead(nn.Module):

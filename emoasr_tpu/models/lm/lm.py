@@ -87,6 +87,19 @@ class TransformerLM(nn.Module):
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         return _gather_last(logp, ylens), states
 
+    def init_cache(self, B: int, max_len: int):
+        """Self-attention KV caches for incremental `predict_step`."""
+        return self.stack.init_cache(B, max_len)
+
+    def predict_step(self, tokens, pos, caches):
+        """Incremental fusion step: consume `tokens` (B,) at `pos` (B,),
+        return (log p(next) (B, V), new caches).  Equals `predict` on the
+        full prefix but O(1) per step instead of O(L) re-encodes (cf. the
+        reference's stateless loop, `lm/modeling/transformer.py:62-77`)."""
+        h, caches = self.stack.step(tokens, pos, caches)
+        logits = self.head(h)
+        return jax.nn.log_softmax(logits.astype(jnp.float32), -1), caches
+
     def score(self, ys, ylens):
         """Sum of next-token log-probs over positions 0..ylen-2 (B,)."""
         logits = self.logits(ys, ylens)
@@ -491,6 +504,12 @@ class LM(nn.Module):
 
     def predict(self, ys, ylens, states=None):
         return self.lm.predict(ys, ylens, states)
+
+    def init_cache(self, B: int, max_len: int):
+        return self.lm.init_cache(B, max_len)
+
+    def predict_step(self, tokens, pos, caches):
+        return self.lm.predict_step(tokens, pos, caches)
 
     def score(self, ys, ylens):
         return self.lm.score(ys, ylens)

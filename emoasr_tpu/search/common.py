@@ -52,15 +52,62 @@ class LMFusion(NamedTuple):
     weight: float
 
 
-def make_lm_fusion(lm_model, lm_variables, weight: float) -> LMFusion:
+def make_lm_fusion(
+    lm_model, lm_variables, weight: float, max_len: Optional[int] = None
+) -> LMFusion:
     """Build an LMFusion from an LM module (facade or inner wrapper).
 
     Stateful RNNLM states (layers, 2, N, H) are kept beam-major
     (B, W, layers, 2, H) inside the search so standard beam gathers apply.
+
+    TransformerLM fusion is KV-cached: states are per-layer self-attention
+    caches (B, W, layers, 2, max_len, H, dk) and each step consumes only
+    the newest token — O(1) instead of the reference's O(prefix) full
+    re-encode per beam step (`lm/modeling/transformer.py:62-77`).  The
+    advance-on-extend/keep-parent semantics of the searches hold because a
+    kept state differs from an advanced one only by the idempotent last
+    cache write.
     """
-    is_rnn = getattr(lm_model, "cfg", None) is not None and (
-        lm_model.cfg.lm_type == "rnn"
+    lm_type = (
+        lm_model.cfg.lm_type
+        if getattr(lm_model, "cfg", None) is not None
+        else None
     )
+    is_rnn = lm_type == "rnn"
+
+    if lm_type == "transformer":
+        if max_len is None:
+            max_len = lm_model.cfg.max_seq_len
+
+        def predict_beams_cached(hyps, lens, states):
+            B, W, L = hyps.shape
+            flat = hyps.reshape(B * W, L)
+            fl = lens.reshape(B * W)
+            pos = jnp.maximum(fl - 1, 0).astype(jnp.int32)
+            tokens = jnp.take_along_axis(flat, pos[:, None], axis=1)[:, 0]
+            # (B, W, layers, 2, Lmax, H, dk) -> (layers, 2, B*W, ...)
+            caches = jnp.moveaxis(
+                states.reshape((B * W,) + states.shape[2:]), 0, 2
+            )
+            logp, caches = lm_model.apply(
+                lm_variables, tokens, jnp.minimum(pos, max_len - 1), caches,
+                method=type(lm_model).predict_step,
+            )
+            out = jnp.moveaxis(caches, 2, 0).reshape(
+                (B, W) + states.shape[2:]
+            )
+            return logp.reshape(B, W, -1), out
+
+        def init_states_cached(B, W):
+            caches = lm_model.apply(
+                lm_variables, B * W, max_len,
+                method=type(lm_model).init_cache,
+            )  # (layers, 2, B*W, Lmax, H, dk)
+            return jnp.moveaxis(caches, 2, 0).reshape(
+                (B, W) + caches.shape[:2] + caches.shape[3:]
+            )
+
+        return LMFusion(predict_beams_cached, init_states_cached, weight)
 
     def predict_beams(hyps, lens, states):
         B, W, L = hyps.shape

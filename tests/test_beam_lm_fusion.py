@@ -187,3 +187,153 @@ def test_rnnt_beam_rnnlm_fusion_states_thread():
         vocab_size=10, lm=None,
     )
     assert not np.allclose(np.asarray(scores), np.asarray(s2))
+
+
+def _stateless_transformer_fusion(lm, variables, weight):
+    """The round-1 O(L·prefix) fusion path: full-prefix re-encode per step
+    (kept as the equivalence oracle for the KV-cached path)."""
+    from emoasr_tpu.models.lm.lm import TransformerLM
+
+    def predict_beams(hyps, lens, states):
+        B, W, L = hyps.shape
+        logp, _ = lm.apply(
+            variables, hyps.reshape(B * W, L), lens.reshape(B * W), None,
+            method=TransformerLM.predict,
+        )
+        return logp.reshape(B, W, -1), states
+
+    return LMFusion(predict_beams, lambda B, W: None, weight)
+
+
+def test_transformer_lm_predict_step_matches_predict():
+    """KV-cached incremental predict == stateless full-prefix predict at
+    every position."""
+    from emoasr_tpu.models.lm.lm import TransformerLM
+
+    V, L = 12, 7
+    cfg = config_from_dict(
+        dict(lm_type="transformer", vocab_size=V, hidden_size=16,
+             num_layers=2, num_attention_heads=2, intermediate_size=32,
+             max_seq_len=16, dropout_rate=0.0)
+    )
+    lm = TransformerLM(cfg)
+    rng = np.random.default_rng(7)
+    ys = rng.integers(2, V, size=(3, L)).astype(np.int32)
+    variables = lm.init(
+        jax.random.PRNGKey(0), jnp.asarray(ys), jnp.full((3,), L, jnp.int32)
+    )
+    caches = lm.apply(variables, 3, 16, method=TransformerLM.init_cache)
+    for i in range(L):
+        step_lp, caches = lm.apply(
+            variables, jnp.asarray(ys[:, i]), jnp.full((3,), i, jnp.int32),
+            caches, method=TransformerLM.predict_step,
+        )
+        full_lp, _ = lm.apply(
+            variables, jnp.asarray(ys[:, : i + 1]),
+            jnp.full((3,), i + 1, jnp.int32), None,
+            method=TransformerLM.predict,
+        )
+        np.testing.assert_allclose(
+            np.asarray(step_lp), np.asarray(full_lp), atol=2e-5, rtol=2e-5
+        )
+
+
+def test_ctc_beam_cached_transformer_fusion_matches_stateless():
+    """The cached fusion must leave CTC prefix beam output unchanged."""
+    from emoasr_tpu.models.lm.lm import TransformerLM
+
+    V, W, T = 10, 3, 12
+    cfg = config_from_dict(
+        dict(lm_type="transformer", vocab_size=V, hidden_size=16,
+             num_layers=2, num_attention_heads=2, intermediate_size=32,
+             max_seq_len=32, dropout_rate=0.0)
+    )
+    lm = TransformerLM(cfg)
+    variables = lm.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 2), jnp.int32),
+        jnp.asarray([2])
+    )
+    rng = np.random.default_rng(5)
+    lp = np.asarray(
+        jax.nn.log_softmax(jnp.asarray(rng.normal(size=(2, T, V)) * 2), -1),
+        np.float32,
+    )
+    elens = jnp.asarray([T, T - 4])
+
+    cached = make_lm_fusion(lm, variables, weight=0.5)
+    stateless = _stateless_transformer_fusion(lm, variables, weight=0.5)
+
+    out_c = ctc_beam_search(
+        jnp.asarray(lp), elens, beam_width=W, len_weight=0.2, lm=cached
+    )
+    out_s = ctc_beam_search(
+        jnp.asarray(lp), elens, beam_width=W, len_weight=0.2, lm=stateless
+    )
+    for a, b, name in zip(out_c, out_s, ("hyps", "lens", "scores")):
+        if name == "scores":
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+            )
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_attention_beam_cached_transformer_fusion_matches_stateless():
+    from emoasr_tpu.config import config_from_dict as cfd
+    from emoasr_tpu.models.decoders.transformer import TransformerDecoder
+    from emoasr_tpu.search.attention_beam import attention_beam_search
+    from emoasr_tpu.models.lm.lm import TransformerLM
+
+    V, W = 10, 3
+    dcfg = cfd(
+        dict(decoder_type="transformer", vocab_size=V, enc_hidden_size=12,
+             dec_hidden_size=12, dec_num_attention_heads=2, dec_num_layers=1,
+             dec_intermediate_size=24, dropout_dec_rate=0.0,
+             dropout_attn_rate=0.0, max_decode_ylen=8)
+    )
+    dec = TransformerDecoder(dcfg)
+    rng = np.random.default_rng(6)
+    B, T, E = 2, 6, 12
+    eouts = jnp.asarray(rng.normal(size=(B, T, E)).astype(np.float32))
+    elens = jnp.asarray([6, 5])
+    ys0 = jnp.full((B, 3), 2, jnp.int32)
+    dvars = dec.init(
+        jax.random.PRNGKey(0), eouts, elens, None, ys0[:, :2],
+        jnp.full((B,), 2, jnp.int32), ys0, ys0,
+    )
+
+    lm_cfg = cfd(
+        dict(lm_type="transformer", vocab_size=V, hidden_size=16,
+             num_layers=1, num_attention_heads=2, intermediate_size=32,
+             max_seq_len=32, dropout_rate=0.0)
+    )
+    lm = TransformerLM(lm_cfg)
+    lvars = lm.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 2), jnp.int32), jnp.asarray([2])
+    )
+
+    def step_fn(ys_in, ylens, eouts_rep, elens_rep):
+        return dec.apply(
+            dvars, ys_in, ylens, eouts_rep,
+            method=TransformerDecoder.forward_one_step,
+        )
+
+    W_ = W
+
+    outs = {}
+    for name, fusion in (
+        ("cached", make_lm_fusion(lm, lvars, weight=0.4)),
+        ("stateless", _stateless_transformer_fusion(lm, lvars, weight=0.4)),
+    ):
+        outs[name] = attention_beam_search(
+            eouts, elens, step_fn, vocab_size=V, beam_width=W_, eos_id=2,
+            blank_id=0, len_weight=0.1, lm=fusion, max_decode_ylen=8,
+        )
+    for a, b, name in zip(outs["cached"], outs["stateless"],
+                          ("hyps", "lens", "scores")):
+        if name == "scores":
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+            )
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
