@@ -80,7 +80,9 @@ def norm_feats(data_path: str, norm_path: str, norm_suffix: str = "norm") -> Non
         sq = info["lmfb_sqsum"] if sq is None else sq + info["lmfb_sqsum"]
         n += info["num_frames"]
     mean = s / n
-    std = np.sqrt(sq / n - mean * mean)
+    # float rounding can drive the variance of a constant dim slightly
+    # negative; floor it (the reference would emit NaN here)
+    std = np.sqrt(np.maximum(sq / n - mean * mean, 1e-8))
 
     def one(npy_path):
         x = np.load(npy_path)
@@ -162,16 +164,25 @@ def concat_text_lm(
     return out
 
 
-def get_cols(tsv_path: str, cols: List[str], out: str = None) -> str:
+def get_cols(tsv_path: str, cols: List[str], out: str = None,
+             no_header: bool = False) -> str:
+    """Extract columns (get_cols.py); `no_header` emits raw lines (the
+    reference's --no_header, used to feed spm_train)."""
     df = pd.read_table(tsv_path)[cols]
     out = out or f"{os.path.splitext(tsv_path)[0]}_cols.tsv"
-    df.to_csv(out, sep="\t", index=False)
+    df.to_csv(out, sep="\t", index=False, header=not no_header)
     return out
 
 
-def rm_utt(tsv_path: str, utt_ids: List[str], out: str = None) -> str:
+def rm_utt(tsv_path: str, utt_ids: List[str] = (), texts: List[str] = (),
+           out: str = None) -> str:
+    """Filter rows by utt_id or by exact text (the reference\'s rm_utt.py
+    removes `ignore_time_segment_in_scoring` rows by TEXT, in place)."""
     df = pd.read_table(tsv_path)
-    df = df[~df["utt_id"].isin(set(utt_ids))]
+    if utt_ids:
+        df = df[~df["utt_id"].isin(set(utt_ids))]
+    if texts:
+        df = df[~df["text"].isin(set(texts))]
     out = out or f"{os.path.splitext(tsv_path)[0]}_rm.tsv"
     df.to_csv(out, sep="\t", index=False)
     return out
@@ -213,6 +224,37 @@ def map2phone(tsv_path: str, lexicon: str, phone_vocab: str, unk: str = "NSN",
 # ---------------------------------------------------------------------------
 
 
+def _trim_wav(in_path: str, out_path: str, start_s: float, end_s: float):
+    """Cut [start_s, end_s) out of a PCM16 wav.
+
+    Uses sox when available (reference parity: `sox in out trim s =e`,
+    ted2/make_utts.py); otherwise an exact stdlib sample cut — trim is
+    pure sample slicing, so the two are bit-identical for PCM16 input.
+    """
+    import shutil
+    import subprocess
+    import wave
+
+    if shutil.which("sox"):
+        cp = subprocess.run(
+            ["sox", in_path, out_path, "trim", f"{start_s:.2f}", f"={end_s:.2f}"]
+        )
+        assert cp.returncode == 0, f"sox failed for {in_path}"
+        return
+    with wave.open(in_path, "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        # match sox's 2-decimal rounding of the CLI args above
+        s = min(n, int(round(round(start_s, 2) * rate)))
+        e = min(n, int(round(round(end_s, 2) * rate)))
+        w.setpos(s)
+        frames = w.readframes(max(0, e - s))
+        params = w.getparams()
+    with wave.open(out_path, "wb") as w:
+        w.setparams(params)
+        w.writeframes(frames)
+
+
 def make_utts_stm(
     stm_dir: str,
     wav_dir: str,
@@ -226,8 +268,8 @@ def make_utts_stm(
     Semantics of `corpora/ted2/make_utts.py:9-95`: utt ids embed start/end
     centiseconds (zero-padded to 7), optional segment extension (-0.15 s
     head / +0.1 s tail), 0.9/1.0/1.1 speed-perturbed variants read
-    `sp{speed}-{talk}.wav` inputs with times scaled by 1/speed.  Requires
-    `sox` on PATH.
+    `sp{speed}-{talk}.wav` inputs with times scaled by 1/speed.  Uses sox
+    when on PATH, else an exact stdlib PCM16 cut (_trim_wav).
     """
     import subprocess
 
@@ -263,10 +305,7 @@ def make_utts_stm(
                         sp_id = f"sp{speed}-{utt_id}"
                         s, e = s_fix / float(speed), e_fix / float(speed)
                     out_wav = os.path.join(odir, f"{sp_id}.wav")
-                    cp = subprocess.run(
-                        ["sox", wav, out_wav, "trim", f"{s:.2f}", f"={e:.2f}"]
-                    )
-                    assert cp.returncode == 0, f"sox failed for {wav}"
+                    _trim_wav(wav, out_wav, s, e)
                     rows.append((sp_id, out_wav, text))
     pd.DataFrame(rows, columns=["utt_id", "wav_path", "text"]).to_csv(
         tsv_path, sep="\t", index=False
@@ -280,7 +319,7 @@ def make_utts_json(
     """EuroParl-ASR segmentation from released json files
     (`corpora/epasr/make_utts_json.py`): sessions organized as
     data_dir/tN/date/id/{*.wav, *.json}; each json holds segments with
-    fields b/e (times) and wl (word list, field w).  Requires sox.
+    fields b/e (times) and wl (word list, field w).
     """
     import json as _json
     import subprocess
@@ -316,10 +355,7 @@ def make_utts_json(
                         f"-{str(int(e * 100)).zfill(7)}"
                     )
                     out_wav = os.path.join(odir, f"{utt_id}.wav")
-                    cp = subprocess.run(
-                        ["sox", wav_path, out_wav, "trim", f"{s:.2f}", f"={e:.2f}"]
-                    )
-                    assert cp.returncode == 0
+                    _trim_wav(wav_path, out_wav, s, e)
                     rows.append((utt_id, out_wav, text))
     pd.DataFrame(rows, columns=["utt_id", "wav_path", "text"]).to_csv(
         tsv_path, sep="\t", index=False
@@ -473,13 +509,20 @@ def main():
     s.add_argument("--norm_suffix", default="norm")
     s = sub.add_parser("get_cols"); s.add_argument("tsv_path")
     s.add_argument("-cols", nargs="+", required=True)
+    s.add_argument("-out", default=None)
+    s.add_argument("--no_header", action="store_true")
     s = sub.add_parser("rm_utt"); s.add_argument("tsv_path")
-    s.add_argument("-utt_ids", nargs="+", required=True)
+    s.add_argument("-utt_ids", nargs="*", default=[])
+    s.add_argument(
+        "-texts", nargs="*", default=["ignore_time_segment_in_scoring"],
+        help="drop rows with these exact texts (reference rm_utt.py default)",
+    )
     s = sub.add_parser("spm_train"); s.add_argument("text_path")
     s.add_argument("-model_prefix", required=True)
     s.add_argument("-vocab_size", type=int, required=True)
     s = sub.add_parser("spm_encode"); s.add_argument("tsv_path")
     s.add_argument("-model", required=True)
+    s.add_argument("-out", default=None)
 
     args = p.parse_args()
     if args.cmd == "wav_to_feats":
@@ -507,13 +550,13 @@ def main():
     elif args.cmd == "prep_tsv":
         print(prep_tsv(args.tsv_path, args.norm_suffix))
     elif args.cmd == "get_cols":
-        print(get_cols(args.tsv_path, args.cols))
+        print(get_cols(args.tsv_path, args.cols, args.out, args.no_header))
     elif args.cmd == "rm_utt":
-        print(rm_utt(args.tsv_path, args.utt_ids))
+        print(rm_utt(args.tsv_path, args.utt_ids, args.texts))
     elif args.cmd == "spm_train":
         spm_train(args.text_path, args.model_prefix, args.vocab_size)
     elif args.cmd == "spm_encode":
-        print(spm_encode(args.model, args.tsv_path))
+        print(spm_encode(args.model, args.tsv_path, args.out))
 
 
 if __name__ == "__main__":

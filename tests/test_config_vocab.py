@@ -53,3 +53,28 @@ def test_misc_converters():
     assert strip_eos([2, 5, 2, 6], 2) == [5, 6]
     assert get_utt_id_nosp("sp0.9-utt-1") == "utt-1"
     assert get_utt_id_nosp("utt-1") == "utt-1"
+
+
+def test_all_shipped_configs_load_and_construct():
+    """Every YAML under configs/ (the full README-table matrix: L1-L4,
+    T1-T5, C1-C6 + correction, LM suites) loads through the strict loader
+    and its model constructs."""
+    import glob
+    import os
+
+    from emoasr_tpu.config import load_config
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    paths = sorted(glob.glob(os.path.join(root, "configs/**/*.yaml"),
+                             recursive=True))
+    assert len(paths) >= 30, paths
+    for p in paths:
+        cfg = load_config(p)
+        if cfg.lm_type:
+            from emoasr_tpu.models.lm.lm import LM
+
+            LM(cfg)
+        else:
+            from emoasr_tpu.models.asr import ASR
+
+            ASR(cfg)
