@@ -53,20 +53,32 @@ class LMFusion(NamedTuple):
 
 
 def make_lm_fusion(
-    lm_model, lm_variables, weight: float, max_len: Optional[int] = None
+    lm_model, lm_variables, weight: float, max_len: Optional[int] = None,
+    mode: str = "auto",
 ) -> LMFusion:
     """Build an LMFusion from an LM module (facade or inner wrapper).
 
     Stateful RNNLM states (layers, 2, N, H) are kept beam-major
     (B, W, layers, 2, H) inside the search so standard beam gathers apply.
 
-    TransformerLM fusion is KV-cached: states are per-layer self-attention
-    caches (B, W, layers, 2, max_len, H, dk) and each step consumes only
-    the newest token — O(1) instead of the reference's O(prefix) full
-    re-encode per beam step (`lm/modeling/transformer.py:62-77`).  The
-    advance-on-extend/keep-parent semantics of the searches hold because a
-    kept state differs from an advanced one only by the idempotent last
-    cache write.
+    TransformerLM fusion has two modes (both exact; equivalence pinned in
+    tests/test_beam_lm_fusion.py):
+
+    - "stateless": re-encode the full prefix each beam step.  On CPU this
+      is the reference's O(prefix) bottleneck (`transformer.py:62-77`); on
+      TPU the re-encode is one large batched matmul that the MXU eats —
+      measured FASTER than the cached path at the published row sizes
+      (L3-class beam: 388 ms vs 458 ms; CTC beam T=1000: 6.3 s vs 10.1 s
+      on one v5e chip).
+    - "cached": per-layer KV caches, O(1) compute per step.  The per-step
+      beam gather moves the whole (B, W, layers, 2, max_len, H, dk) cache
+      through HBM, which dominates at these sizes; wins only for long
+      prefixes x large LMs where re-encode FLOPs outgrow gather bytes.
+
+    "auto" currently selects stateless (the measured default).  The
+    advance-on-extend/keep-parent semantics of the searches hold for the
+    cached mode because a kept state differs from an advanced one only by
+    the idempotent last cache write.
     """
     lm_type = (
         lm_model.cfg.lm_type
@@ -75,7 +87,10 @@ def make_lm_fusion(
     )
     is_rnn = lm_type == "rnn"
 
-    if lm_type == "transformer":
+    if lm_type == "transformer" and mode == "auto":
+        mode = "stateless"
+
+    if lm_type == "transformer" and mode == "cached":
         if max_len is None:
             max_len = lm_model.cfg.max_seq_len
 

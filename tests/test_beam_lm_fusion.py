@@ -260,7 +260,7 @@ def test_ctc_beam_cached_transformer_fusion_matches_stateless():
     )
     elens = jnp.asarray([T, T - 4])
 
-    cached = make_lm_fusion(lm, variables, weight=0.5)
+    cached = make_lm_fusion(lm, variables, weight=0.5, mode="cached")
     stateless = _stateless_transformer_fusion(lm, variables, weight=0.5)
 
     out_c = ctc_beam_search(
@@ -322,7 +322,7 @@ def test_attention_beam_cached_transformer_fusion_matches_stateless():
 
     outs = {}
     for name, fusion in (
-        ("cached", make_lm_fusion(lm, lvars, weight=0.4)),
+        ("cached", make_lm_fusion(lm, lvars, weight=0.4, mode="cached")),
         ("stateless", _stateless_transformer_fusion(lm, lvars, weight=0.4)),
     ):
         outs[name] = attention_beam_search(
