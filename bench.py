@@ -78,10 +78,16 @@ def timeit(fn, sync, n=5):
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from emoasr_tpu.config import config_from_dict
     from emoasr_tpu.eval.decode import build_decode_fn
@@ -113,6 +119,9 @@ def main():
                 dropout_enc_rate=0.1, dropout_attn_rate=0.1,
             )
         )
+        # production RNG for dropout/specaug streams (train/loop.py):
+        # threefry mask generation costs ~half the step at these shapes
+        tkey = jax.random.key(0, impl=cfg.rng_impl)
         model = ASR(cfg)
         B, T, U = 32, 800, 48
         xs = jnp.asarray(rng.normal(size=(B, T, 80)).astype(np.float32))
@@ -135,22 +144,20 @@ def main():
         )
         step = make_train_step(model, cfg, tx)
 
+        # AOT: ONE compile per dtype, reused for cost analysis AND timing
         flops = None
         try:
-            ca = (
-                jax.jit(step)
-                .lower(state, batch, key)
-                .compile()
-                .cost_analysis()
-            )
+            compiled = step.lower(state, batch, tkey).compile()
+            ca = compiled.cost_analysis()
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]
             flops = float(ca.get("flops", 0.0)) or None
+            step = compiled
         except Exception:
             pass
 
         def one(s):
-            s2, m = step(s, batch, key)
+            s2, m = step(s, batch, tkey)
             return s2, m
 
         state, m = one(state)

@@ -188,6 +188,13 @@ class ExpConfig:
     # in bf16 with f32 softmax/losses/norm-stats (utils/precision.py).
     param_dtype: str = "float32"
     compute_dtype: str = "float32"
+    # PRNG implementation for the training step's dropout/SpecAugment
+    # streams.  "unsafe_rbg" uses the XLA hardware RNG: measured 39.2 ->
+    # 21.0 ms/step at L1 shapes (threefry mask generation costs ~half the
+    # step); "threefry" is jax's default counter-based generator.  Model
+    # *initialization* always uses threefry so parameter draws stay
+    # reproducible across impls.
+    rng_impl: str = "unsafe_rbg"  # unsafe_rbg | rbg | threefry
     mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel axis; -1 = all devices
     mesh_axes: Tuple[str, ...] = ("data",)
 

@@ -125,8 +125,10 @@ def train(conf_path: str, resume: bool = False, cfg: Optional[ExpConfig] = None,
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
     logging.info(f"mesh: {mesh}")
     model = ASR(cfg)
-    rng = jax.random.PRNGKey(cfg.seed)
-    rng, init_rng = jax.random.split(rng)
+    init_rng = jax.random.PRNGKey(cfg.seed)  # params: always threefry
+    # step streams (dropout/SpecAugment): hardware RNG by default
+    # (cfg.rng_impl; ~2x step time at L1 shapes vs threefry masks)
+    rng = jax.random.key(cfg.seed, impl=cfg.rng_impl)
     params, batch_stats = init_model(cfg, model, init_rng)
     num_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     logging.info(f"ASR model #parameters: {num_params}")

@@ -142,8 +142,8 @@ def train(conf_path: str, resume: bool = False, cfg: Optional[ExpConfig] = None)
 
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
     model = LM(cfg)
-    rng = jax.random.PRNGKey(cfg.seed)
-    rng, init_rng = jax.random.split(rng)
+    init_rng = jax.random.PRNGKey(cfg.seed)  # params: always threefry
+    rng = jax.random.key(cfg.seed, impl=cfg.rng_impl)  # step streams
 
     # representative init batch
     L = min(cfg.max_seq_len, 32)
