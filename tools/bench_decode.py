@@ -35,6 +35,22 @@ def main():
     key = jax.random.PRNGKey(0)
     rows = []
 
+    def make_fusion(mode):
+        from emoasr_tpu.models.lm.lm import TransformerLM
+        from emoasr_tpu.search.common import make_lm_fusion
+
+        lm_cfg = config_from_dict(
+            dict(lm_type="transformer", vocab_size=10000, hidden_size=512,
+                 num_layers=4, num_attention_heads=8, intermediate_size=2048,
+                 max_seq_len=128, dropout_rate=0.0)
+        )
+        lm = TransformerLM(lm_cfg)
+        lvars = lm.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 2), jnp.int32),
+            jnp.asarray([2]),
+        )
+        return make_lm_fusion(lm, lvars, 0.5, max_len=80, mode=mode)
+
     def bench(name, cfg_kw, B, T, beams):
         cfg = config_from_dict(cfg_kw)
         model = ASR(cfg)
@@ -46,11 +62,15 @@ def main():
         )
         np.asarray(xs[0, 0, :1])
         for W, kw in beams:
-            dec = build_decode_fn(model, v, cfg, beam_width=W, **kw)
+            kw = dict(kw)
+            fusion_mode = kw.pop("fusion", None)
+            lm = make_fusion(fusion_mode) if fusion_mode else None
+            dec = build_decode_fn(model, v, cfg, beam_width=W, lm=lm, **kw)
             dt = timeit(lambda: dec(xs, xlens), lambda o: np.asarray(o[0]))
             rtf = dt / (B * T * 0.01)
-            rows.append((f"{name} W={W}", f"{dt*1000:.0f} ms", f"{rtf:.2e}"))
-            print(f"{name} W={W}: {dt*1000:.0f} ms (RTF {rtf:.2e})", flush=True)
+            tag = f"{name} W={W}" + (f" +SF[{fusion_mode}]" if fusion_mode else "")
+            rows.append((tag, f"{dt*1000:.0f} ms", f"{rtf:.2e}"))
+            print(f"{tag}: {dt*1000:.0f} ms (RTF {rtf:.2e})", flush=True)
 
     enc = dict(
         input_layer="conv2d", feat_dim=80, enc_num_attention_heads=4,
@@ -79,7 +99,14 @@ def main():
              dec_num_attention_heads=4, dec_num_layers=6,
              dec_intermediate_size=2048, vocab_size=10000,
              mtl_ctc_weight=0.3, max_decode_ylen=64, dropout_dec_rate=0.0),
-        8, 1000, [(10, {"len_weight": 2.0, "decode_ctc_weight": 0.3})],
+        8, 1000, [
+            (10, {"len_weight": 2.0, "decode_ctc_weight": 0.3}),
+            # the flagship L3-3 decode: + Transformer-LM shallow fusion
+            (10, {"len_weight": 2.0, "decode_ctc_weight": 0.3,
+                  "fusion": "stateless"}),
+            (10, {"len_weight": 2.0, "decode_ctc_weight": 0.3,
+                  "fusion": "cached"}),
+        ],
     )
     bench(
         "LAS(Trf)",
