@@ -1,4 +1,4 @@
-"""Driver benchmark scoreboard: one JSON line per metric (headline last).
+"""Driver benchmark scoreboard: one JSON line per metric (headline first).
 
 Rows (all measured on the real chip, synthetic 80-dim fbank inputs,
 10 ms frame shift):
@@ -12,7 +12,7 @@ Rows (all measured on the real chip, synthetic 80-dim fbank inputs,
 - att_joint_sf_rtf_L3_3   label-sync beam + joint CTC + KV-cached
                           Transformer-LM shallow fusion (the flagship
                           L3-3 decode mode)
-- ctc_greedy_batched_rtf_L1  headline row, SAME protocol as round 1
+- ctc_greedy_batched_rtf_L1  headline row (emitted FIRST), SAME protocol as round 1
 
 vs_baseline for decode rows = reference_RTF / our_RTF (>1 = faster).
 The reference's only published RTF is CTC greedy 0.0033 on the author's
@@ -106,9 +106,89 @@ def main():
         enc_hidden_size=256, enc_intermediate_size=2048, vocab_size=10000,
     )
 
+
+    # ---------------- decode rows ----------------
+    _var_cache = {}
+
+    def decode_rtf(cfg_kw, B, T, beam_width, beam_kw, lm=None, n=5):
+        cfg = config_from_dict(cfg_kw)
+        model = ASR(cfg)
+        xs = jax.jit(lambda k: jax.random.normal(k, (B, T, 80)))(key)
+        xlens = jnp.full((B,), T, jnp.int32)
+        ck = (cfg.encoder_type, cfg.decoder_type, cfg.vocab_size)
+        if ck not in _var_cache:
+            _var_cache[ck] = model.init(
+                key, xs, xlens, jnp.ones((B, 4), jnp.int32),
+                jnp.full((B,), 4), jnp.ones((B, 5), jnp.int32),
+                jnp.ones((B, 5), jnp.int32),
+            )
+        v = _var_cache[ck]
+        np.asarray(xs[0, 0, :1])
+        dec = build_decode_fn(
+            model, v, cfg, beam_width=beam_width, lm=lm, **beam_kw
+        )
+        flops = None
+        try:  # AOT: reuse one compile for cost analysis + timing
+            compiled = dec.lower(xs, xlens).compile()
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0)) or None
+            dec = compiled
+        except Exception:
+            pass
+        dt = timeit(lambda: dec(xs, xlens), lambda o: np.asarray(o[0]), n=n)
+        mfu = (
+            round(flops / dt / (peak_tflops * 1e12), 4) if flops else None
+        )
+        return dt / (B * T * FRAME_SHIFT_S), mfu
+
+    # ---------------- headline: round-1 protocol, unchanged ----------
+    cfg = config_from_dict(dict(L1, dropout_enc_rate=0.0, dropout_attn_rate=0.0))
+    model = ASR(cfg)
+    B, T = 64, 1000
+    xs = jnp.asarray(rng.normal(size=(B, T, 80)).astype(np.float32))
+    xlens = jnp.full((B,), T, jnp.int32)
+    variables = model.init(key, xs, xlens, method=ASR.decode_greedy)
+    # the CTC-beam row below reuses this tree (same modules; params are
+    # shape-independent of B) to avoid a second expensive remote init
+    _var_cache[("transformer", "ctc", 10000)] = variables
+    decode = jax.jit(
+        lambda v, x, l: model.apply(v, x, l, method=ASR.decode_greedy)
+    )
+    # distinct inputs per iteration (defeats transport-level caching),
+    # derived ON DEVICE from one staged buffer (the remote tunnel's H2D
+    # path is not what we measure)
+    n_iters = 10
+    base = jax.device_put(xs)
+    roll = jax.jit(lambda x, i: jnp.roll(x, i, axis=1))
+    inputs = [roll(base, i) for i in range(n_iters)]
+    np.asarray(inputs[-1][0, 0, :1])
+    hyps, hyp_lens, _, _ = decode(variables, xs, xlens)
+    np.asarray(hyps)
+    t0 = time.perf_counter()
+    outs = []
+    for it in range(n_iters):
+        hyps, hyp_lens, _, _ = decode(variables, inputs[it], xlens)
+        outs.append(hyps)
+    np.asarray(outs[-1])
+    dt = time.perf_counter() - t0
+    rtf = dt / (n_iters * B * T * FRAME_SHIFT_S)
+    emit(
+        {
+            "metric": "ctc_greedy_batched_rtf_L1",
+            "value": round(rtf, 6),
+            "unit": "decode_s_per_audio_s",
+            "vs_baseline": round(REF_PUBLISHED_CTC_GREEDY / rtf, 2),
+            "baseline_src": "published_0.0033",
+        }
+    )
+
     # ---------------- L1 train step: steps/s + MFU ----------------
     from emoasr_tpu.train.optim import build_optimizer
     from emoasr_tpu.train.step import init_train_state, make_train_step
+
+    _train_shared = {}
 
     def train_step_time(compute_dtype):
         cfg = config_from_dict(
@@ -124,20 +204,30 @@ def main():
         tkey = jax.random.key(0, impl=cfg.rng_impl)
         model = ASR(cfg)
         B, T, U = 32, 800, 48
-        xs = jnp.asarray(rng.normal(size=(B, T, 80)).astype(np.float32))
-        xlens = jnp.full((B,), T, jnp.int32)
-        ys = jnp.asarray(
-            rng.integers(3, cfg.vocab_size, (B, U)), dtype=jnp.int32
-        )
-        ylens = jnp.full((B,), U, jnp.int32)
-        ys_in = jnp.full((B, U + 1), cfg.eos_id, jnp.int32).at[:, 1:].set(ys)
-        ys_out = jnp.full((B, U + 1), cfg.eos_id, jnp.int32).at[:, :U].set(ys)
-        batch = dict(
-            xs=xs, xlens=xlens, ys=ys, ylens=ylens, ys_in=ys_in, ys_out=ys_out
-        )
-        variables = model.init(
-            key, xs, xlens, ys, ylens, ys_in, ys_out
-        )
+        if not _train_shared:
+            xs = jnp.asarray(rng.normal(size=(B, T, 80)).astype(np.float32))
+            xlens = jnp.full((B,), T, jnp.int32)
+            ys = jnp.asarray(
+                rng.integers(3, cfg.vocab_size, (B, U)), dtype=jnp.int32
+            )
+            ylens = jnp.full((B,), U, jnp.int32)
+            ys_in = (
+                jnp.full((B, U + 1), cfg.eos_id, jnp.int32).at[:, 1:].set(ys)
+            )
+            ys_out = (
+                jnp.full((B, U + 1), cfg.eos_id, jnp.int32).at[:, :U].set(ys)
+            )
+            batch = dict(
+                xs=xs, xlens=xlens, ys=ys, ylens=ylens, ys_in=ys_in,
+                ys_out=ys_out,
+            )
+            # params are dtype-independent (f32 masters): init ONCE
+            _train_shared["batch"] = batch
+            _train_shared["variables"] = model.init(
+                key, xs, xlens, ys, ylens, ys_in, ys_out
+            )
+        batch = _train_shared["batch"]
+        variables = _train_shared["variables"]
         tx = build_optimizer(cfg)
         state = init_train_state(
             variables["params"], variables.get("batch_stats", {}), tx
@@ -193,24 +283,6 @@ def main():
         }
     )
 
-    # ---------------- decode rows ----------------
-    def decode_rtf(cfg_kw, B, T, beam_width, beam_kw, lm=None, n=5):
-        cfg = config_from_dict(cfg_kw)
-        model = ASR(cfg)
-        xs = jax.jit(lambda k: jax.random.normal(k, (B, T, 80)))(key)
-        xlens = jnp.full((B,), T, jnp.int32)
-        v = model.init(
-            key, xs, xlens, jnp.ones((B, 4), jnp.int32),
-            jnp.full((B,), 4), jnp.ones((B, 5), jnp.int32),
-            jnp.ones((B, 5), jnp.int32),
-        )
-        np.asarray(xs[0, 0, :1])
-        dec = build_decode_fn(
-            model, v, cfg, beam_width=beam_width, lm=lm, **beam_kw
-        )
-        dt = timeit(lambda: dec(xs, xlens), lambda o: np.asarray(o[0]), n=n)
-        return dt / (B * T * FRAME_SHIFT_S)
-
     T5 = dict(
         ENC, encoder_type="conformer", decoder_type="rnn_transducer",
         pos_encode_type="rel", enc_hidden_size=256,
@@ -227,34 +299,36 @@ def main():
         max_decode_ylen=64, dropout_dec_rate=0.0,
     )
 
-    rows = []
-    rtf = decode_rtf(L1, 64, 1000, 8, {"len_weight": 2.0})
-    rows.append(
+    rtf, mfu = decode_rtf(L1, 64, 1000, 8, {"len_weight": 2.0})
+    emit(
         {
             "metric": "ctc_beam8_rtf_L1",
             "value": round(rtf, 6),
             "unit": "decode_s_per_audio_s",
             "vs_baseline": round(REF_RTF["ctc_beam8_L1"] / rtf, 2),
+            "mfu": mfu,
             "baseline_src": "measured_ref_cpu",
         }
     )
-    rtf = decode_rtf(T5, 8, 1000, 0, {})
-    rows.append(
+    rtf, mfu = decode_rtf(T5, 8, 1000, 0, {})
+    emit(
         {
             "metric": "rnnt_greedy_rtf_T5",
             "value": round(rtf, 6),
             "unit": "decode_s_per_audio_s",
             "vs_baseline": round(REF_RTF["rnnt_greedy_T5"] / rtf, 2),
+            "mfu": mfu,
             "baseline_src": "measured_ref_cpu",
         }
     )
-    rtf = decode_rtf(T5, 8, 1000, 10, {}, n=3)
-    rows.append(
+    rtf, mfu = decode_rtf(T5, 8, 1000, 10, {}, n=3)
+    emit(
         {
             "metric": "rnnt_beam10_rtf_T5",
             "value": round(rtf, 6),
             "unit": "decode_s_per_audio_s",
             "vs_baseline": round(REF_RTF["rnnt_beam10_T5"] / rtf, 2),
+            "mfu": mfu,
             "baseline_src": "measured_ref_cpu",
         }
     )
@@ -275,59 +349,20 @@ def main():
         jax.random.PRNGKey(1), jnp.zeros((1, 2), jnp.int32), jnp.asarray([2])
     )
     fusion = make_lm_fusion(lm, lvars, 0.5, max_len=80)
-    rtf = decode_rtf(
+    rtf, mfu = decode_rtf(
         L3, 8, 1000, 10,
         {"len_weight": 2.0, "decode_ctc_weight": 0.3}, lm=fusion, n=3,
     )
-    rows.append(
+    emit(
         {
             "metric": "att_joint_sf_rtf_L3_3",
             "value": round(rtf, 6),
             "unit": "decode_s_per_audio_s",
+            "mfu": mfu,
             # reference baseline measured WITHOUT SF (its fusion would only
             # be slower); conservative
             "vs_baseline": round(REF_RTF["att_beam10_ctc_L3"] / rtf, 2),
             "baseline_src": "measured_ref_cpu_no_sf",
-        }
-    )
-    for r in rows:
-        emit(r)
-
-    # ---------------- headline: round-1 protocol, unchanged ----------
-    cfg = config_from_dict(dict(L1, dropout_enc_rate=0.0, dropout_attn_rate=0.0))
-    model = ASR(cfg)
-    B, T = 64, 1000
-    xs = jnp.asarray(rng.normal(size=(B, T, 80)).astype(np.float32))
-    xlens = jnp.full((B,), T, jnp.int32)
-    variables = model.init(key, xs, xlens, method=ASR.decode_greedy)
-    decode = jax.jit(
-        lambda v, x, l: model.apply(v, x, l, method=ASR.decode_greedy)
-    )
-    # distinct inputs per iteration (defeats transport-level caching),
-    # derived ON DEVICE from one staged buffer (the remote tunnel's H2D
-    # path is not what we measure)
-    n_iters = 10
-    base = jax.device_put(xs)
-    roll = jax.jit(lambda x, i: jnp.roll(x, i, axis=1))
-    inputs = [roll(base, i) for i in range(n_iters)]
-    np.asarray(inputs[-1][0, 0, :1])
-    hyps, hyp_lens, _, _ = decode(variables, xs, xlens)
-    np.asarray(hyps)
-    t0 = time.perf_counter()
-    outs = []
-    for it in range(n_iters):
-        hyps, hyp_lens, _, _ = decode(variables, inputs[it], xlens)
-        outs.append(hyps)
-    np.asarray(outs[-1])
-    dt = time.perf_counter() - t0
-    rtf = dt / (n_iters * B * T * FRAME_SHIFT_S)
-    emit(
-        {
-            "metric": "ctc_greedy_batched_rtf_L1",
-            "value": round(rtf, 6),
-            "unit": "decode_s_per_audio_s",
-            "vs_baseline": round(REF_PUBLISHED_CTC_GREEDY / rtf, 2),
-            "baseline_src": "published_0.0033",
         }
     )
 
