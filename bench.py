@@ -134,7 +134,8 @@ def main():
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]
             flops = float(ca.get("flops", 0.0)) or None
-            dec = compiled
+            # decode fns take (variables, xs, xlens); rebind to (xs, xlens)
+            dec = dec.bind_compiled(compiled)
         except Exception:
             pass
         dt = timeit(lambda: dec(xs, xlens), lambda o: np.asarray(o[0]), n=n)

@@ -3,6 +3,11 @@
 Replaces `ASR.decode` dispatch (`/root/reference/asr/modeling/asr.py:70-95`
 -> per-decoder `decode` methods) with jit-compiled batched search functions
 from `emoasr_tpu.search`.  One call decodes a whole padded bucket batch.
+
+Variables are passed as a jit ARGUMENT, not closed over: closing over
+concrete device arrays embeds the whole parameter tree as constants in the
+lowered module (measured 105 s lowering / ~80 MB HLO for the L1 beam on the
+remote-TPU transport, vs ~9 s with parameters as runtime arguments).
 """
 
 from __future__ import annotations
@@ -48,11 +53,31 @@ def build_decode_fn(
         # scores/log-softmaxes stay float32 inside the search modules)
         variables = cast_floating(variables, dtype_of(cfg))
 
-    def encode(xs, xlens):
+    def encode(variables, xs, xlens):
         xs, xlens = preprocess(cfg, xs, xlens, None, False)
         if is_half(cfg):
             xs = xs.astype(dtype_of(cfg))
         return model.apply(variables, xs, xlens, method=ASR.encode)
+
+    def _wrap(fn):
+        """jit with variables as argument; public surface stays (xs, xlens).
+
+        The returned callable also exposes .lower/.compile-compatible AOT
+        via the `aot` attribute-free protocol used by bench.py: we attach
+        `lower(xs, xlens)` that binds the stored variables.
+        """
+        jitted = jax.jit(fn)
+
+        def call(xs, xlens):
+            return jitted(variables, xs, xlens)
+
+        call.lower = lambda xs, xlens: jitted.lower(variables, xs, xlens)
+
+        def call_compiled(compiled):
+            return lambda xs, xlens: compiled(variables, xs, xlens)
+
+        call.bind_compiled = call_compiled
+        return call
 
     dec_type = cfg.decoder_type
 
@@ -64,8 +89,7 @@ def build_decode_fn(
     if (beam_width <= 1 and dec_type != "transformer") or (
         dec_type == "rnn_transducer" and decode_ctc_weight == 1
     ):
-        @jax.jit
-        def decode_greedy(xs, xlens):
+        def decode_greedy(variables, xs, xlens):
             xs, xlens = preprocess(cfg, xs, xlens, None, False)
             if is_half(cfg):
                 xs = xs.astype(dtype_of(cfg))
@@ -74,12 +98,11 @@ def build_decode_fn(
             )
             return hyps, hyp_lens, jnp.zeros(hyp_lens.shape, jnp.float32)
 
-        return decode_greedy
+        return _wrap(decode_greedy)
 
     if dec_type == "ctc":
-        @jax.jit
-        def decode_ctc_beam(xs, xlens):
-            eouts, elens, eouts_inter = encode(xs, xlens)
+        def decode_ctc_beam(variables, xs, xlens):
+            eouts, elens, eouts_inter = encode(variables, xs, xlens)
             if decode_phone and cfg.hie_mtl_phone:
                 eouts = eouts_inter
             logits = model.apply(
@@ -95,24 +118,24 @@ def build_decode_fn(
                 len_weight, lm,
             )
 
-        return decode_ctc_beam
+        return _wrap(decode_ctc_beam)
 
     if dec_type == "rnn_transducer":
-        def rec(tok, ds):
-            d, s = model.apply(
-                variables, tok, ds,
-                method=lambda m, t, st: m.decoder.recurrency(t, st),
-            )
-            return d[:, 0], s
+        def decode_rnnt_beam(variables, xs, xlens):
+            def rec(tok, ds):
+                d, s = model.apply(
+                    variables, tok, ds,
+                    method=lambda m, t, st: m.decoder.recurrency(t, st),
+                )
+                return d[:, 0], s
 
-        def joint(e, d):
-            return model.apply(
-                variables, e, d, method=lambda m, a, b: m.decoder.joint_step(a, b)
-            )
+            def joint(e, d):
+                return model.apply(
+                    variables, e, d,
+                    method=lambda m, a, b: m.decoder.joint_step(a, b),
+                )
 
-        @jax.jit
-        def decode_rnnt_beam(xs, xlens):
-            eouts, elens, _ = encode(xs, xlens)
+            eouts, elens, _ = encode(variables, xs, xlens)
             return rnnt_beam_search(
                 eouts, elens, rec, joint,
                 num_layers=cfg.dec_num_layers,
@@ -125,12 +148,11 @@ def build_decode_fn(
                 lm=lm,
             )
 
-        return decode_rnnt_beam
+        return _wrap(decode_rnnt_beam)
 
     if dec_type == "transformer":
-        @jax.jit
-        def decode_att_beam(xs, xlens):
-            eouts, elens, _ = encode(xs, xlens)
+        def decode_att_beam(variables, xs, xlens):
+            eouts, elens, _ = encode(variables, xs, xlens)
             B, T = eouts.shape[0], eouts.shape[1]
             W = beam_width
 
@@ -169,7 +191,8 @@ def build_decode_fn(
             ctc_lp = None
             if decode_ctc_weight > 0:
                 ctc_logits = model.apply(
-                    variables, eouts, method=lambda m, e: m.decoder.ctc.logits(e)
+                    variables, eouts,
+                    method=lambda m, e: m.decoder.ctc.logits(e),
                 )
                 ctc_lp = jax.nn.log_softmax(ctc_logits.astype(jnp.float32), -1)
 
@@ -187,12 +210,11 @@ def build_decode_fn(
                 cached_step=(init_cache_fn, step_cached_fn),
             )
 
-        return decode_att_beam
+        return _wrap(decode_att_beam)
 
     if dec_type == "las":
-        @jax.jit
-        def decode_las_beam(xs, xlens):
-            eouts, elens, _ = encode(xs, xlens)
+        def decode_las_beam(variables, xs, xlens):
+            eouts, elens, _ = encode(variables, xs, xlens)
             return model.apply(
                 variables, eouts, elens, beam_width, len_weight,
                 method=lambda m, e, el, w, lw: m.decoder.decode_beam(
@@ -200,6 +222,6 @@ def build_decode_fn(
                 ),
             )
 
-        return decode_las_beam
+        return _wrap(decode_las_beam)
 
     raise NotImplementedError(f"beam decode for {dec_type}")

@@ -42,6 +42,43 @@ def array_only(batch: Dict) -> Dict:
     return {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
 
 
+def prefetch_to_device(batch_iter, mesh, depth: int = 3):
+    """Producer-thread pipeline: collate + `shard_batch` (H2D) run ahead of
+    the training step so transfers overlap device compute.
+
+    The reference gets this from DataLoader(num_workers=2)
+    (`asr/train_asr.py:248-257`); here the host path is a thread (collate
+    is numpy/IO releasing the GIL, and device_put is async) feeding a
+    bounded queue — on remote-TPU transports the H2D hop dominates the
+    step, so overlap is the difference between host-bound and
+    compute-bound epochs.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    err = []
+
+    def producer():
+        try:
+            for batch in batch_iter:
+                q.put(shard_batch(mesh, array_only(batch)))
+        except BaseException as e:  # noqa: BLE001 - surfaced in consumer
+            err.append(e)
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        yield item
+    if err:
+        raise err[0]
+
+
 def init_model(cfg: ExpConfig, model: ASR, rng):
     """Initialize with a minimal representative batch (smallest bucket)."""
     T, U = min(cfg.buckets)
@@ -171,27 +208,29 @@ def train(conf_path: str, resume: bool = False, cfg: Optional[ExpConfig] = None,
         batcher = dataset.make_batcher(seed=cfg.seed + epoch)
         accum: Dict[str, float] = {}
         n_acc = 0
-        for i, batch in enumerate(dataset.batches(batcher)):
+        for i, batch in enumerate(
+            prefetch_to_device(dataset.batches(batcher), mesh)
+        ):
             if max_steps is not None and int(state.step) >= max_steps:
                 stopped_early = True
                 break
             rng, step_rng = jax.random.split(rng)
             if profile_dir and epoch == start_epoch and i == 8:
                 jax.profiler.start_trace(profile_dir)
-            state, metrics = train_step(
-                state, shard_batch(mesh, array_only(batch)), step_rng
-            )
+            state, metrics = train_step(state, batch, step_rng)
             if profile_dir and epoch == start_epoch and i == 12:
                 jax.tree_util.tree_map(
                     lambda x: x.block_until_ready(), metrics
                 )
                 jax.profiler.stop_trace()
                 logging.info(f"profiler trace written to {profile_dir}")
+            # accumulate ON DEVICE; a per-step float() would sync the
+            # pipeline every step and stall dispatch-ahead
             for k, v in metrics.items():
-                accum[k] = accum.get(k, 0.0) + float(v)
+                accum[k] = accum.get(k, 0.0) + v
             n_acc += 1
             if (i + 1) % cfg.log_step == 0:
-                avg = {k: v / n_acc for k, v in accum.items()}
+                avg = {k: float(v) / n_acc for k, v in accum.items()}
                 avg.pop("lr", None)  # reported from the live step below
                 loss_str = " ".join(
                     f"{k}: {v:.3f}" for k, v in avg.items() if k != "grad_finite"

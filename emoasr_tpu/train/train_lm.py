@@ -194,19 +194,19 @@ def train(conf_path: str, resume: bool = False, cfg: Optional[ExpConfig] = None)
         accum: Dict[str, float] = {}
         for path in _train_files(cfg, epoch):
             dataset = _make_dataset(cfg, path, "train", cfg.seed + epoch)
-            for batch in dataset.batches(seed=cfg.seed + epoch):
+            from emoasr_tpu.train.loop import prefetch_to_device
+
+            for batch in prefetch_to_device(
+                dataset.batches(seed=cfg.seed + epoch), mesh
+            ):
                 rng, step_rng = jax.random.split(rng)
-                arrays = {
-                    k: v for k, v in batch.items() if isinstance(v, np.ndarray)
-                }
-                state, metrics = step_fn(
-                    state, shard_batch(mesh, arrays), step_rng
-                )
+                state, metrics = step_fn(state, batch, step_rng)
                 n_steps += 1
+                # device-side accumulation (no per-step sync)
                 for k, v in metrics.items():
-                    accum[k] = accum.get(k, 0.0) + float(v)
+                    accum[k] = accum.get(k, 0.0) + v
                 if n_steps % cfg.log_step == 0:
-                    avg = {k: v / cfg.log_step for k, v in accum.items()}
+                    avg = {k: float(v) / cfg.log_step for k, v in accum.items()}
                     loss_str = " ".join(
                         f"{k}: {v:.3f}" for k, v in avg.items() if k != "lr"
                     )
