@@ -66,7 +66,9 @@ def test_ted2_prep_sh_stages_3_4(tmp_path):
     cp = subprocess.run(
         ["bash", os.path.join(REPO, "corpora/ted2/prep.sh"),
          "--stage", "3", "--stop", "4", str(root)],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=300,
+        # each prep-CLI stage is its own python (jax import ~5-10 s); under
+        # a loaded machine the whole script can take several minutes
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=900,
     )
     assert cp.returncode == 0, cp.stdout + cp.stderr
 

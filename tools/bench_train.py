@@ -22,6 +22,9 @@ def main():
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--frames", type=int, default=800)
     parser.add_argument("--tokens", type=int, default=64)
+    parser.add_argument("--joint_mode", default="chunked",
+                        choices=["chunked", "full", "pallas"],
+                        help="T5 transducer joint memory strategy")
     args = parser.parse_args()
 
     import jax
@@ -55,7 +58,7 @@ def main():
                 enc_num_layers=12, enc_intermediate_size=1024,
                 embedding_size=128, dec_hidden_size=512, dec_num_layers=1,
                 joint_hidden_size=512, vocab_size=1000,
-                rnnt_joint_mode="chunked", spec_augment=True,
+                rnnt_joint_mode=args.joint_mode, spec_augment=True,
                 lr_schedule_type="noam", learning_rate=5.0,
                 num_warmup_steps=25000,
             )

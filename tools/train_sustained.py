@@ -30,7 +30,7 @@ def make_corpus(out_dir, n_utts, V, F, seed=0):
     rows = []
     for i in range(n_utts):
         U = int(rng.integers(6, 20))
-        seg = int(rng.integers(8, 14))
+        seg = int(rng.integers(12, 18))  # >=3 frames/token post-subsample
         T = U * seg
         toks = rng.integers(3, V, size=U)
         x = np.zeros((T, F), np.float32)
@@ -76,7 +76,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
     os.makedirs(args.out, exist_ok=True)
-    V, F = 128, 80
+    V, F = 80, 80  # V <= F: each token gets a unique feature channel
     train_tsv, test_tsv, vocab = make_corpus(args.out, args.n_utts, V, F)
 
     conf = dict(
@@ -84,13 +84,17 @@ def main():
         feat_dim=F, enc_hidden_size=256, enc_num_attention_heads=4,
         enc_num_layers=12, enc_intermediate_size=2048, vocab_size=V,
         vocab_path=vocab, train_path=train_tsv, test_path=test_tsv,
-        buckets=[[256, 24]], batch_size=32, max_xlens_batch=30000,
+        buckets=[[384, 24]], batch_size=32, max_xlens_batch=30000,
         max_ylens_batch=3000,
-        num_epochs=max(1, args.steps // 40), learning_rate=5.0,
+        num_epochs=max(1, args.steps // 40 + 3), learning_rate=5.0,
         lr_schedule_type="noam", num_warmup_steps=200,
         dropout_enc_rate=0.1, dropout_attn_rate=0.1, spec_augment=True,
-        max_mask_freq=20, max_mask_time=20, clip_grad_norm=5.0,
-        compute_dtype="bfloat16", log_step=50, save_step=1000000,
+        # mild masks: tokens span ~3-4 post-subsample frames on this
+        # synthetic task, so reference-strength time masks erase whole
+        # tokens and cap the attainable WER
+        max_mask_freq=10, max_mask_time=8, num_masks_time=1,
+        clip_grad_norm=5.0,
+        compute_dtype="bfloat16", log_step=25, save_step=1000000,
         seed=0,
     )
     conf_path = os.path.join(args.out, "l1_sustained.yaml")
