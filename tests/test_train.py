@@ -202,3 +202,27 @@ def test_spec_augment_shapes_and_validity():
         rng, xs, xlens, max_mask_time_ratio=0.05, num_masks_time_ratio=0.04
     )
     assert np.asarray(out2).shape == xs.shape
+
+
+def test_prefetch_to_device_order_and_errors():
+    """prefetch_to_device preserves batch order and surfaces producer
+    exceptions (train/loop.py)."""
+    import numpy as np
+    import pytest
+
+    from emoasr_tpu.parallel.mesh import make_mesh
+    from emoasr_tpu.train.loop import prefetch_to_device
+
+    mesh = make_mesh((1,), ("data",))
+    batches = [{"xs": np.full((2, 3), i, np.float32)} for i in range(7)]
+    out = list(prefetch_to_device(iter(batches), mesh, depth=2))
+    assert len(out) == 7
+    for i, b in enumerate(out):
+        assert float(np.asarray(b["xs"])[0, 0]) == i
+
+    def bad_iter():
+        yield {"xs": np.zeros((1, 1), np.float32)}
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(prefetch_to_device(bad_iter(), mesh))
