@@ -43,12 +43,22 @@ from emoasr_tpu.utils.vocab import Vocab
 
 
 def wav_to_feats(data_path: str, num_bins: int = 80) -> None:
-    """wav (or tsv of wavs) -> .npy log-mel + CMVN stats pickle."""
-    from emoasr_tpu.frontend.fbank import load_wav, log_mel_fbank
+    """wav (or tsv of wavs) -> .npy log-mel + CMVN stats pickle.
+
+    Wavs are zero-padded to 1 s buckets before the jitted fbank so the
+    whole corpus compiles a bounded set of programs (one per duration
+    bucket) instead of one per unique length."""
+    from emoasr_tpu.frontend.fbank import SAMPLE_RATE, load_wav, log_mel_fbank
 
     def one(wav_path):
         wav = load_wav(wav_path)
-        feats, flens = log_mel_fbank(wav[None], num_bins=num_bins)
+        n = len(wav)
+        padded = ((n + SAMPLE_RATE - 1) // SAMPLE_RATE) * SAMPLE_RATE
+        buf = np.zeros(padded, np.float32)
+        buf[:n] = wav
+        feats, flens = log_mel_fbank(
+            buf[None], np.asarray([n], np.int32), num_bins=num_bins
+        )
         lmfb = np.asarray(feats[0, : int(flens[0])])
         np.save(wav_path.replace(".wav", ".npy"), lmfb)
         return lmfb.sum(0), (lmfb * lmfb).sum(0), lmfb.shape[0]
@@ -477,6 +487,20 @@ def spm_encode(model_path: str, tsv_path: str, out: str = None) -> str:
 
 
 def main():
+    # honor JAX_PLATFORMS for the feature stages: injected PJRT plugins
+    # (e.g. the remote-TPU axon plugin in CI) can force-set jax_platforms
+    # at interpreter start, overriding the env var — re-apply it here so
+    # `JAX_PLATFORMS=cpu python -m emoasr_tpu.corpora.prep ...` really
+    # runs the offline tooling on CPU.
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", want)
+        except Exception:  # pragma: no cover - jax absent/initialized
+            pass
+
     p = argparse.ArgumentParser(prog="emoasr_tpu.corpora.prep")
     sub = p.add_subparsers(dest="cmd", required=True)
 
