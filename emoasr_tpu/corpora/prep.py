@@ -27,7 +27,6 @@ import argparse
 import os
 import pickle
 import re
-import sys
 from typing import List
 
 import numpy as np

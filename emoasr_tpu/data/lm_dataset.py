@@ -19,7 +19,7 @@ Notes kept from the reference:
 from __future__ import annotations
 
 import logging
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 import pandas as pd

@@ -12,16 +12,13 @@ remote-TPU transport, vs ~9 s with parameters as runtime arguments).
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 
 from emoasr_tpu.config import ExpConfig
 from emoasr_tpu.models.asr import ASR
-from emoasr_tpu.models.decoders.rnnt import RNNTDecoder
-from emoasr_tpu.models.decoders.transformer import TransformerDecoder
 from emoasr_tpu.models.layers import make_pad_mask
 from emoasr_tpu.search.attention_beam import attention_beam_search
 from emoasr_tpu.search.common import LMFusion

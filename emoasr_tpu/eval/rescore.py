@@ -19,7 +19,7 @@ import logging
 import os
 import re
 import time
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import pandas as pd

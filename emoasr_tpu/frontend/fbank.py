@@ -18,7 +18,6 @@ precomputes .npy offline on CPU).
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Optional, Tuple
 

@@ -12,7 +12,6 @@ decoding is batched/jitted rather than per-utterance.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ Python loops over the batch; everything here is one masked batched reduction.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ the encoder-side key projection hoisted out of the loop.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ The ALSD beam search (:242-325) lives in `emoasr_tpu/search/rnnt_beam.py`.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

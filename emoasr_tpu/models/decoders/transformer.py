@@ -11,7 +11,6 @@ returns the last position's logits (used by the beam search in
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

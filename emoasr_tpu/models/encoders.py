@@ -13,7 +13,6 @@ All shapes are static per bucket; padding is mask-driven.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -19,7 +19,6 @@ runs in float32 regardless of the compute dtype.
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

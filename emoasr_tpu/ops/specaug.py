@@ -16,7 +16,6 @@ standard SpecAugment formulation.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

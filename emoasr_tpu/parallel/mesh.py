@@ -11,7 +11,7 @@ axis (`param_partition_specs` below).  The mesh shape is config-driven
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import numpy as np

@@ -20,7 +20,6 @@ from typing import Any, Callable, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from emoasr_tpu.ops.common import LOG_0
 
 DEAD = -1e30  # score of dead/pruned beam slots
 

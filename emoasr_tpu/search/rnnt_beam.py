@@ -19,12 +19,11 @@ merged (same double-hash identity as search/common.py).
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from emoasr_tpu.ops.common import LOG_0
 from emoasr_tpu.search.common import DEAD, gather_beams, hash_extend, hash_init
 
 NUM_EXPANDS = 3

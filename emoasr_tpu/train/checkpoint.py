@@ -15,7 +15,7 @@ from __future__ import annotations
 import logging
 import os
 import re
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Optional
 
 import jax
 import numpy as np

@@ -11,7 +11,6 @@ program, keeping the host path IO-only.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

@@ -26,7 +26,7 @@ import optax
 from emoasr_tpu.config import ExpConfig, load_config
 from emoasr_tpu.data.lm_dataset import LMDataset, P2WDataset
 from emoasr_tpu.models.lm.lm import LM
-from emoasr_tpu.parallel.mesh import make_mesh, shard_batch
+from emoasr_tpu.parallel.mesh import make_mesh
 from emoasr_tpu.train import checkpoint as ckpt
 from emoasr_tpu.train.optim import build_optimizer, finite_or_zero, make_lr_fn, scale_updates
 from emoasr_tpu.train.step import TrainState, init_train_state
