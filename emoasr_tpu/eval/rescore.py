@@ -36,6 +36,9 @@ from emoasr_tpu.utils.log import setup_logging
 from emoasr_tpu.utils.paths import get_model_path
 
 BATCH_SIZE = 128
+
+# jitted LM.score per LM instance (avoid per-call retrace/compile)
+_SCORE_FN_CACHE: dict = {}
 EPS = 1e-5
 
 
@@ -47,18 +50,31 @@ def score_lm(
     batch_size: int = BATCH_SIZE,
     num_samples: int = -1,
 ) -> pd.DataFrame:
-    """Add a `score_lm` column: batched jitted LM.score over padded hyps."""
-    score_fn = jax.jit(
-        lambda ys, ylens: lm_model.apply(
-            variables, ys, ylens, method=LM.score
+    """Add a `score_lm` column: batched jitted LM.score over padded hyps.
+
+    The jitted scorer is cached per LM instance and takes `variables` as
+    an argument (a fresh `jax.jit` per call would recompile on every
+    invocation — the --runtime mode repeats this function); hyp length is
+    rounded up to a multiple of 16 so different n-best files reuse a
+    small set of compiled shapes."""
+    key = id(lm_model)
+    if key not in _SCORE_FN_CACHE:
+        _SCORE_FN_CACHE[key] = jax.jit(
+            lambda v, ys, ylens: lm_model.apply(
+                v, ys, ylens, method=LM.score
+            )
         )
-    )
+    jitted = _SCORE_FN_CACHE[key]
+
+    def score_fn(ys, ylens):
+        return jitted(variables, ys, ylens)
 
     token_lists: List[List[int]] = [
         str2ints(t) for t in df["token_id"].tolist()
     ]
     lens = np.asarray([len(t) for t in token_lists], np.int32)
     L = int(min(max(lens.max(), 1), max_len))
+    L = min(((L + 15) // 16) * 16, max_len)
 
     scores = np.zeros(len(df), np.float32)
     n_utts = df["utt_id"].nunique()
