@@ -89,4 +89,5 @@ if __name__ == "__main__":
     args.runtime = False
     args.len_weight = None
     args.lm_weight = None
+    args.decode_phone = False
     main(args)
