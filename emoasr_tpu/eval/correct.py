@@ -110,6 +110,7 @@ class Corrector:
         self._decode_phone = jax.jit(
             lambda xs, xlens: self._greedy(xs, xlens, True)
         )
+        self._lm_fill_jit = None  # built lazily (needs lm_model presence)
 
     def _greedy(self, xs, xlens, phone):
         xs, xlens = preprocess(self.cfg, xs, xlens, None, False)
@@ -118,17 +119,34 @@ class Corrector:
         )
 
     def _lm_fill(self, ys, ylens, ps=None, plens=None):
+        # jitted once per Corrector (unjitted apply dispatches every
+        # primitive eagerly — orders of magnitude slower on accelerators)
+        if self._lm_fill_jit is None:
+            if self.use_phone:
+                self._lm_fill_jit = jax.jit(
+                    lambda v, ys, yl, ps, pl: jax.nn.softmax(
+                        self.lm_model.apply(
+                            v, ys, yl, None, ps, pl,
+                            method=type(self.lm_model).__call__,
+                        ),
+                        -1,
+                    )
+                )
+            else:
+                self._lm_fill_jit = jax.jit(
+                    lambda v, ys, yl: jax.nn.softmax(
+                        self.lm_model.apply(
+                            v, ys, yl, None,
+                            method=type(self.lm_model).__call__,
+                        ),
+                        -1,
+                    )
+                )
         if self.use_phone:
-            logits = self.lm_model.apply(
-                self.lm_variables, ys, ylens, None, ps, plens,
-                method=type(self.lm_model).__call__,
-            )
+            probs = self._lm_fill_jit(self.lm_variables, ys, ylens, ps, plens)
         else:
-            logits = self.lm_model.apply(
-                self.lm_variables, ys, ylens, None,
-                method=type(self.lm_model).__call__,
-            )
-        return np.asarray(jax.nn.softmax(jnp.asarray(logits), -1))
+            probs = self._lm_fill_jit(self.lm_variables, ys, ylens)
+        return np.asarray(probs)
 
     def correct_batch(self, batch) -> List[Tuple[str, List[int], str, int, int]]:
         """Returns rows (utt_id, corrected_ids, reftext, n_masked, n_tokens)."""
