@@ -32,18 +32,12 @@ from emoasr_tpu.utils.log import setup_logging
 from emoasr_tpu.utils.paths import get_model_path, rel_to_abs_path
 
 
-def causal_nll_batch(model, variables, batch, add_sos_eos: bool):
-    """Summed next-token NLL + token count for one padded batch."""
-    ys = jnp.asarray(batch["ys_in"])
-    ylens = jnp.asarray(batch["ylens"])
+def _causal_nll(model, params, ys, ylens, ps, plens, add_sos_eos: bool):
+    """Summed next-token NLL + token count (pure; jit-friendly)."""
     ys_in = ys[:, :-1]
     ys_out = ys[:, 1:]
     lens_in = ylens - 1
-    logits = model.apply(
-        {"params": variables["params"]}, ys_in, lens_in, None,
-        jnp.asarray(batch["ps"]) if "ps" in batch else None,
-        jnp.asarray(batch["plens"]) if "plens" in batch else None,
-    )
+    logits = model.apply({"params": params}, ys_in, lens_in, None, ps, plens)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
     tok_lp = jnp.take_along_axis(
         logp, ys_out[:, :, None].astype(jnp.int32), axis=2
@@ -55,46 +49,78 @@ def causal_nll_batch(model, variables, batch, add_sos_eos: bool):
         # skip first-token and <eos> predictions (test_ppl.py:62-66)
         valid = valid & (pos >= 1) & (pos < (lens_in - 1)[:, None])
     nll = -jnp.sum(jnp.where(valid, tok_lp, 0.0))
-    return float(nll), int(jnp.sum(valid))
+    return nll, jnp.sum(valid)
 
 
-def masked_nll_batch(model, variables, batch, mask_id: int):
-    """Pseudo-NLL: mask each valid position; one batched forward."""
-    ys = jnp.asarray(batch["ys_in"])
-    ylens = jnp.asarray(batch["ylens"])
+def _masked_nll(model, params, ys, ylens, ps, plens, mask_id: int):
+    """Pseudo-NLL: mask each valid position; one batched forward (pure)."""
     B, L = ys.shape
     eye = jnp.eye(L, dtype=bool)[None]
     masked = jnp.where(eye, mask_id, ys[:, None, :]).reshape(B * L, L)
     rep_lens = jnp.repeat(ylens, L)
-    ps = plens = None
-    if "ps" in batch:
-        ps = jnp.repeat(jnp.asarray(batch["ps"]), L, axis=0)
-        plens = jnp.repeat(jnp.asarray(batch["plens"]), L)
-    logits = model.apply(
-        {"params": variables["params"]}, masked, rep_lens, None, ps, plens
-    )
+    if ps is not None:
+        ps = jnp.repeat(ps, L, axis=0)
+        plens = jnp.repeat(plens, L)
+    logits = model.apply({"params": params}, masked, rep_lens, None, ps, plens)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
     pos = jnp.tile(jnp.arange(L), B)
     tgt = ys.reshape(-1)
     lp = logp[jnp.arange(B * L), pos, tgt].reshape(B, L)
     valid = jnp.arange(L)[None, :] < ylens[:, None]
     nll = -jnp.sum(jnp.where(valid, lp, 0.0))
-    return float(nll), int(jnp.sum(valid))
+    return nll, jnp.sum(valid)
+
+
+def _batch_arrays(batch):
+    return (
+        jnp.asarray(batch["ys_in"]),
+        jnp.asarray(batch["ylens"]),
+        jnp.asarray(batch["ps"]) if "ps" in batch else None,
+        jnp.asarray(batch["plens"]) if "plens" in batch else None,
+    )
+
+
+def causal_nll_batch(model, variables, batch, add_sos_eos: bool):
+    ys, ylens, ps, plens = _batch_arrays(batch)
+    nll, cnt = _causal_nll(
+        model, variables["params"], ys, ylens, ps, plens, add_sos_eos
+    )
+    return float(nll), int(cnt)
+
+
+def masked_nll_batch(model, variables, batch, mask_id: int):
+    ys, ylens, ps, plens = _batch_arrays(batch)
+    nll, cnt = _masked_nll(
+        model, variables["params"], ys, ylens, ps, plens, mask_id
+    )
+    return float(nll), int(cnt)
 
 
 def evaluate_ppl(
     cfg: ExpConfig, model: LM, variables, dataset
 ) -> Tuple[int, float]:
+    """Corpus (pseudo-)perplexity through ONE jitted NLL program per
+    bucket shape (an unjitted apply would dispatch eagerly per batch)."""
     masked = cfg.lm_type in ("bert", "pbert")
+    if masked:
+        nll_fn = jax.jit(
+            lambda p, ys, yl, ps, pl: _masked_nll(
+                model, p, ys, yl, ps, pl, cfg.mask_id
+            )
+        )
+    else:
+        nll_fn = jax.jit(
+            lambda p, ys, yl, ps, pl: _causal_nll(
+                model, p, ys, yl, ps, pl, cfg.add_sos_eos
+            )
+        )
     total_nll, total_cnt = 0.0, 0
     batcher = dataset.make_batcher(shuffle=False, drop_tail=False)
     for batch in dataset.batches(batcher):
-        if masked:
-            nll, cnt = masked_nll_batch(model, variables, batch, cfg.mask_id)
-        else:
-            nll, cnt = causal_nll_batch(model, variables, batch, cfg.add_sos_eos)
-        total_nll += nll
-        total_cnt += cnt
+        ys, ylens, ps, plens = _batch_arrays(batch)
+        nll, cnt = nll_fn(variables["params"], ys, ylens, ps, plens)
+        total_nll += float(nll)
+        total_cnt += int(cnt)
     return total_cnt, math.exp(total_nll / max(total_cnt, 1))
 
 
