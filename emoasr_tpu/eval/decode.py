@@ -94,6 +94,15 @@ def build_decode_fn(
             return lambda xs, xlens: jitted(variables, w, xs, xlens)
 
         call.with_weights = with_weights
+
+        def with_variables(new_variables):
+            """Rebind to updated variables (e.g. per-epoch validation)
+            without retracing — params are runtime inputs."""
+            if is_half(cfg):
+                new_variables = cast_floating(new_variables, dtype_of(cfg))
+            return lambda xs, xlens: jitted(new_variables, w0, xs, xlens)
+
+        call.with_variables = with_variables
         return call
 
     dec_type = cfg.decoder_type

@@ -100,6 +100,10 @@ def init_model(cfg: ExpConfig, model: ASR, rng):
     return variables["params"], variables.get("batch_stats", {})
 
 
+# per-run cache of the validation decode program (rebind params per epoch)
+_VALID_DECODE_CACHE: dict = {}
+
+
 def greedy_valid_wer(cfg, model, state, dataset, vocab=None) -> float:
     """Per-epoch greedy WER on the dev set (train_asr.py:146-184).
 
@@ -111,7 +115,15 @@ def greedy_valid_wer(cfg, model, state, dataset, vocab=None) -> float:
     variables = {"params": state.params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
-    decode_fn = build_decode_fn(model, variables, cfg, beam_width=1)
+    # the decode program is built (traced) once; later epochs only rebind
+    # the updated params (runtime inputs — no retrace/compile per epoch)
+    ck = (id(model), cfg.decoder_type, bool(state.batch_stats))
+    base = _VALID_DECODE_CACHE.get(ck)
+    if base is None:
+        base = build_decode_fn(model, variables, cfg, beam_width=1)
+        _VALID_DECODE_CACHE.clear()
+        _VALID_DECODE_CACHE[ck] = base
+    decode_fn = base.with_variables(variables)
     hyps_all, refs_all = [], []
     for batch in dataset.batches():
         hyps, hyp_lens, _ = decode_fn(

@@ -226,3 +226,58 @@ def test_prefetch_to_device_order_and_errors():
 
     with pytest.raises(RuntimeError, match="boom"):
         list(prefetch_to_device(bad_iter(), mesh))
+
+
+def test_greedy_valid_wer_cached_rebind():
+    """Per-epoch validation reuses one decode program; rebinding updated
+    params must give the same WER as a fresh build (train/loop.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from emoasr_tpu import config as _c
+    from emoasr_tpu.models.asr import ASR
+    from emoasr_tpu.train import loop as tl
+    from emoasr_tpu.train.optim import build_optimizer
+    from emoasr_tpu.train.step import init_train_state
+
+    import tempfile, os
+    cfg = _c.config_from_dict(dict(
+        encoder_type="transformer", decoder_type="ctc", input_layer="linear",
+        feat_dim=8, enc_hidden_size=16, enc_num_attention_heads=2,
+        enc_num_layers=1, enc_intermediate_size=32, vocab_size=10,
+        dropout_enc_rate=0.0, dropout_attn_rate=0.0,
+        buckets=[[16, 8]], batch_size=4, max_xlens_batch=512,
+        max_ylens_batch=64,
+    ))
+    tmp = tempfile.mkdtemp()
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(4):
+        x = rng.normal(size=(16, 8)).astype(np.float32)
+        p = os.path.join(tmp, f"u{i}.npy")
+        np.save(p, x)
+        rows.append(dict(feat_path=p, utt_id=f"u{i}", token_id="3 4",
+                         text="w3 w4", xlen=16, ylen=2))
+    tsv = os.path.join(tmp, "dev.tsv")
+    pd.DataFrame(rows).to_csv(tsv, sep="\t", index=False)
+    from emoasr_tpu.data.asr_dataset import ASRDataset
+    ds = ASRDataset(cfg, tsv, phase="valid")
+
+    model = ASR(cfg)
+    import jax, jax.numpy as jnp
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 16, 8)),
+                   jnp.full((2,), 16, jnp.int32), method=ASR.decode_greedy)
+    tx = build_optimizer(cfg)
+    s1 = init_train_state(v["params"], v.get("batch_stats", {}), tx)
+    # perturbed params = a "later epoch"
+    p2 = jax.tree_util.tree_map(lambda x: x + 0.01, v["params"])
+    s2 = init_train_state(p2, v.get("batch_stats", {}), tx)
+
+    tl._VALID_DECODE_CACHE.clear()
+    w1 = tl.greedy_valid_wer(cfg, model, s1, ds)
+    w2_cached = tl.greedy_valid_wer(cfg, model, s2, ds)  # cache hit, rebound
+    assert len(tl._VALID_DECODE_CACHE) == 1
+    tl._VALID_DECODE_CACHE.clear()
+    w2_fresh = tl.greedy_valid_wer(cfg, model, s2, ds)
+    assert w2_cached == w2_fresh
+    assert np.isfinite(w1) and np.isfinite(w2_cached)
