@@ -35,10 +35,7 @@ from emoasr_tpu.data.asr_dataset import ASRDataset
 from emoasr_tpu.eval.test_asr import get_eval_path, load_asr_variables
 from emoasr_tpu.eval.wer import compute_wers_df, wer_info_line
 from emoasr_tpu.models.asr import ASR
-from emoasr_tpu.models.lm.lm import LM, P2W
-from emoasr_tpu.train import checkpoint as ckpt
 from emoasr_tpu.train.step import preprocess
-from emoasr_tpu.utils import torch_import as ti
 from emoasr_tpu.utils.converters import ints2str
 from emoasr_tpu.utils.log import insert_comment, setup_logging
 from emoasr_tpu.utils.paths import get_model_path, get_results_dir, rel_to_abs_path
@@ -252,18 +249,17 @@ def test_main(args):
     lm_cfg = lm_model = lm_variables = None
     cascade = False
     if args.lm_conf:
-        lm_cfg = load_config(args.lm_conf)
-        cascade = lm_cfg.lm_type == "pctc"
-        # always go through the LM facade: train_lm saves checkpoints with
-        # the facade's parameter tree ({"lm": {...}}), so a bare P2W module
-        # would fail to find its parameters
-        lm_model = LM(lm_cfg)
+        # dual orbax-dir / torch-file dispatch (an imported reference BERT
+        # or P2W checkpoint is a torch pickle, same flow as test_asr)
+        from emoasr_tpu.eval.test_asr import load_lm
+
         lm_path = get_model_path(args.lm_conf, args.lm_ep)
-        tree = ckpt.load_model(lm_path)
-        params = tree["params"]
-        if "lm" not in params:  # tolerate bare-module checkpoints too
-            params = {"lm": params}
-        lm_variables = {"params": params}
+        lm_model, lm_variables, lm_cfg = load_lm(args.lm_conf, lm_path)
+        cascade = lm_cfg.lm_type == "pctc"
+        if "lm" not in lm_variables["params"]:
+            # tolerate bare-module orbax checkpoints (train_lm saves the
+            # facade tree {"lm": {...}})
+            lm_variables = {"params": {"lm": lm_variables["params"]}}
 
     corr = Corrector(
         cfg, model, variables, lm_cfg, lm_model, lm_variables,

@@ -77,6 +77,11 @@ def parse_epochs(ep: str) -> Optional[List[int]]:
 def model_average(conf_path: str, ep: str) -> Optional[str]:
     """Average `model.ep{N}` over an epoch range; saves `model.ep{ep}`.
 
+    Handles both our orbax checkpoint directories and imported reference
+    torch `state_dict` files (`utils/average_checkpoints.py:16-52` averages
+    torch pickles; the reference's published WERs come from such averaged
+    files, so `-ep 91-100` over imported checkpoints must work too).
+
     Returns the save path (or None if `ep` is a single epoch)."""
     epochs = parse_epochs(ep)
     if epochs is None:
@@ -87,6 +92,9 @@ def model_average(conf_path: str, ep: str) -> Optional[str]:
         return save_path
 
     logging.info(f"average checkpoints... (epochs: {epochs})")
+    first = get_model_path(conf_path, epochs[0])
+    if os.path.isfile(first):
+        return _model_average_torch(conf_path, epochs, save_path)
     avg = None
     for e in epochs:
         tree = load_model(get_model_path(conf_path, e))
@@ -96,6 +104,45 @@ def model_average(conf_path: str, ep: str) -> Optional[str]:
             avg = jax.tree_util.tree_map(lambda a, b: a + b, avg, tree)
     avg = jax.tree_util.tree_map(lambda a: a / len(epochs), avg)
     _ckptr().save(os.path.abspath(save_path), avg, force=True)
+    logging.info(f"checkpoints saved to: {save_path}")
+    return save_path
+
+
+def _model_average_torch(conf_path: str, epochs: List[int], save_path: str) -> str:
+    """Average torch `state_dict` files in numpy; save a torch file.
+
+    Saving as a torch pickle keeps the averaged checkpoint on the same
+    import path as its inputs (`eval/test_asr.py::load_asr_variables`
+    dispatches on file-vs-directory). Float tensors are averaged in
+    float64 then cast back; integer/bool buffers (e.g. BatchNorm
+    `num_batches_tracked`) are taken from the first epoch, matching the
+    effective behavior of in-place `+=` integer division in the reference.
+    """
+    import torch
+
+    avg: dict = {}
+    dtypes: dict = {}
+    for i, e in enumerate(epochs):
+        sd = torch.load(
+            get_model_path(conf_path, e), map_location="cpu", weights_only=True
+        )
+        for k, v in sd.items():
+            a = v.numpy()
+            if i == 0:
+                dtypes[k] = a.dtype
+                avg[k] = (
+                    a.astype(np.float64)
+                    if np.issubdtype(a.dtype, np.floating)
+                    else a
+                )
+            elif np.issubdtype(dtypes[k], np.floating):
+                avg[k] = avg[k] + a.astype(np.float64)
+    out = {}
+    for k, a in avg.items():
+        if np.issubdtype(dtypes[k], np.floating):
+            a = (a / len(epochs)).astype(dtypes[k])
+        out[k] = torch.from_numpy(np.ascontiguousarray(a))
+    torch.save(out, save_path)
     logging.info(f"checkpoints saved to: {save_path}")
     return save_path
 
