@@ -191,10 +191,13 @@ class ExpConfig:
     # PRNG implementation for the training step's dropout/SpecAugment
     # streams.  "unsafe_rbg" uses the XLA hardware RNG: measured 39.2 ->
     # 21.0 ms/step at L1 shapes (threefry mask generation costs ~half the
-    # step); "threefry" is jax's default counter-based generator.  Model
-    # *initialization* always uses threefry so parameter draws stay
-    # reproducible across impls.
-    rng_impl: str = "unsafe_rbg"  # unsafe_rbg | rbg | threefry
+    # step) — but jax documents its split/fold_in as lacking independence
+    # guarantees, so the default is jax's counter-based "threefry" (fully
+    # reproducible streams); the production TPU configs under configs/ opt
+    # into unsafe_rbg explicitly for the speed.  Model *initialization*
+    # always uses threefry so parameter draws stay reproducible across
+    # impls.
+    rng_impl: str = "threefry2x32"  # threefry2x32 | rbg | unsafe_rbg
     mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel axis; -1 = all devices
     mesh_axes: Tuple[str, ...] = ("data",)
 
@@ -234,6 +237,8 @@ def config_from_dict(raw: dict) -> ExpConfig:
     if unknown:
         raise ValueError(f"unknown config keys: {sorted(unknown)}")
     kw = {k: v for k, v in raw.items() if k in _FIELD_NAMES}
+    if kw.get("rng_impl") == "threefry":  # alias for jax's registered name
+        kw["rng_impl"] = "threefry2x32"
     for key in ("buckets", "mesh_shape", "mesh_axes"):
         if key in kw and isinstance(kw[key], list):
             kw[key] = tuple(tuple(x) if isinstance(x, list) else x for x in kw[key])

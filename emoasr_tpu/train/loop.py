@@ -215,6 +215,9 @@ def train(conf_path: str, resume: bool = False, cfg: Optional[ExpConfig] = None,
     )
 
     stopped_early = False
+    # host-side mirror of state.step: reading int(state.step) every
+    # iteration would sync the device per step and defeat dispatch-ahead
+    host_step = int(state.step)
     for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.time()
         batcher = dataset.make_batcher(seed=cfg.seed + epoch)
@@ -223,13 +226,14 @@ def train(conf_path: str, resume: bool = False, cfg: Optional[ExpConfig] = None,
         for i, batch in enumerate(
             prefetch_to_device(dataset.batches(batcher), mesh)
         ):
-            if max_steps is not None and int(state.step) >= max_steps:
+            if max_steps is not None and host_step >= max_steps:
                 stopped_early = True
                 break
             rng, step_rng = jax.random.split(rng)
             if profile_dir and epoch == start_epoch and i == 8:
                 jax.profiler.start_trace(profile_dir)
             state, metrics = train_step(state, batch, step_rng)
+            host_step += 1  # step_fn advances state.step by exactly 1
             if profile_dir and epoch == start_epoch and i == 12:
                 jax.tree_util.tree_map(
                     lambda x: x.block_until_ready(), metrics

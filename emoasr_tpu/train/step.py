@@ -209,7 +209,15 @@ def make_train_step(
 
 def make_eval_loss_step(model, cfg: ExpConfig, mesh=None, tx=None,
                         params=None) -> Callable:
-    """Validation loss (no specaug, deterministic)."""
+    """Validation loss (no specaug, deterministic).
+
+    INVARIANT: eval batches built with `pad_to_batch` duplicate the first
+    utterance into tail rows (`data/asr_dataset.py` pads to the bucket's
+    batch size for one-program-shape decoding).  The returned loss_dict is
+    a whole-batch mean, so on a padded tail batch it double-counts the
+    duplicated rows — callers aggregating over utterances must weight by
+    `batch["n_valid"]` (or slice device arrays to `n_valid` rows) before
+    reducing across batches."""
 
     def step_fn(state: TrainState, batch: Dict) -> Dict:
         xs, xlens = preprocess(cfg, batch["xs"], batch["xlens"], None, False)
