@@ -38,6 +38,16 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
+def _on_tpu() -> bool:
+    """True when the default device is a TPU (incl. PJRT plugins whose
+    platform name differs, e.g. the remote-TPU 'axon' tunnel)."""
+    dev = jax.devices()[0]
+    return (
+        "tpu" in dev.platform.lower()
+        or "tpu" in getattr(dev, "device_kind", "").lower()
+    )
+
+
 def _kernel(
     labels_ref,  # (1, 1, Up) int32
     h_enc_ref,  # (1, Tc, J)
@@ -132,6 +142,13 @@ def fused_joint_gather_fwd(
     U = U1 - 1
     V = w_out.shape[1]
 
+    # mixed precision: z and the z@W matmul run in the activations'
+    # dtype (bf16 under compute_dtype=bfloat16 — MXU-native), with f32
+    # accumulation (preferred_element_type) and f32 logsumexp scratch
+    dt = h_enc.dtype
+    h_dec = h_dec.astype(dt)
+    w_out = w_out.astype(dt)
+
     h_enc_p = _pad_to(h_enc, 1, t_chunk)
     Tp = h_enc_p.shape[1]
     h_dec_p = _pad_to(h_dec, 1, 128)
@@ -177,12 +194,15 @@ def fused_joint_gather_fwd(
             jax.ShapeDtypeStruct((B, Tp, Up), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((t_chunk * Up, J), jnp.float32),
+            pltpu.VMEM((t_chunk * Up, J), dt),
             pltpu.VMEM((t_chunk, Up), jnp.float32),
             pltpu.VMEM((t_chunk, Up), jnp.float32),
             pltpu.VMEM((t_chunk, Up), jnp.float32),
             pltpu.VMEM((t_chunk, Up), jnp.float32),
         ],
+        # configs with rnnt_joint_mode=pallas stay runnable on CPU
+        # (tests, dryrun): the emulator executes the same kernel
+        interpret=not _on_tpu(),
     )(labels_p, h_enc_p, h_dec_p, w_p, b_p)
 
     return lpb[:, :T, :U1], lpl[:, :T, :U]

@@ -242,6 +242,36 @@ def test_rnnt_pallas_fused_interpret():
         rp.pl.pallas_call = orig
 
 
+def test_rnnt_pallas_fused_bf16_inputs():
+    """bf16 activations (compute_dtype=bfloat16 train path) through the
+    fused kernel: z and z@W run in bf16 with f32 accumulation/logsumexp.
+    Regression for the f32-scratch/bf16-value dtype mismatch that broke
+    transducer bf16 training."""
+    import emoasr_tpu.ops.rnnt_pallas as rp
+
+    rng = np.random.default_rng(9)
+    B, T, U1, V, J = 2, 11, 6, 40, 16
+    h_enc = jnp.asarray(rng.normal(size=(B, T, J)).astype(np.float32))
+    h_dec = jnp.asarray(rng.normal(size=(B, U1, J)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(J, V)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(1, V, (B, U1 - 1)))
+    lpb32, lpl32 = rp.fused_joint_gather_fwd(
+        h_enc, h_dec, w, b, labels, t_chunk=4, v_chunk=16
+    )
+    lpb16, lpl16 = rp.fused_joint_gather_fwd(
+        h_enc.astype(jnp.bfloat16), h_dec.astype(jnp.bfloat16), w, b,
+        labels, t_chunk=4, v_chunk=16,
+    )
+    assert lpb16.dtype == jnp.float32  # log-probs come out f32 either way
+    np.testing.assert_allclose(
+        np.asarray(lpb16), np.asarray(lpb32), rtol=0.05, atol=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(lpl16), np.asarray(lpl32), rtol=0.05, atol=0.05
+    )
+
+
 def test_rnnt_decoder_chunked_mode_matches_full():
     from emoasr_tpu.config import config_from_dict
     from emoasr_tpu.models.decoders.rnnt import RNNTDecoder
