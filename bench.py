@@ -1,27 +1,47 @@
-"""Driver benchmark scoreboard: one JSON line per metric (headline first).
+"""Driver benchmark scoreboard: one JSON line per metric.
+
+The HEADLINE row (`ctc_greedy_batched_rtf_L1`, protocol unchanged since
+round 1) is emitted LAST — the driver parses the final JSON line.
 
 Rows (all measured on the real chip, synthetic 80-dim fbank inputs,
 10 ms frame shift):
 
 - l1_train_step_bf16      train step (fwd+bwd+clip+update) at L1 shapes,
-                          with FLOP-accounted MFU (XLA cost analysis /
-                          device peak); vs_baseline = f32 step / bf16 step
-- ctc_beam8_rtf_L1        batched CTC prefix beam, W=8
-- rnnt_greedy_rtf_T5      batched RNN-T greedy (T5-class Conformer)
-- rnnt_beam10_rtf_T5      batched ALSD beam, W=10
-- att_joint_sf_rtf_L3_3   label-sync beam + joint CTC + KV-cached
-                          Transformer-LM shallow fusion (the flagship
-                          L3-3 decode mode)
-- ctc_greedy_batched_rtf_L1  headline row (emitted FIRST), SAME protocol as round 1
+                          FLOP-accounted MFU; vs_baseline = f32/bf16 step
+- t5_train_step_bf16      Conformer-transducer train step with the Pallas
+                          fused joint; vs_baseline = chunked-joint step /
+                          Pallas-joint step (the fused-kernel win)
+- ctc_beam8_rtf_L1        batched CTC prefix beam W=8, batch swept to the
+                          chip's saturation point
+- rnnt_greedy_rtf_T5      batched RNN-T greedy, batch swept
+- rnnt_beam10_rtf_T5      batched ALSD beam W=10, batch swept
+- att_joint_sf_rtf_L3_3   label-sync beam + joint CTC + Transformer-LM
+                          shallow fusion (flagship L3-3 mode), batch
+                          swept; `fusion_mode` tags what actually ran
+                          (mode="auto" resolves to stateless re-encode,
+                          search/common.py:89-90 — measured faster than
+                          the KV-cached path at these sizes)
+- rescore_rtf_bert        BERT pseudo-likelihood n-best rescoring RTF
+                          (protocol: rescore/test_rescore_grid.py:120-145)
+- correct_rtf_bert        mask-and-fill error-correction RTF (protocol:
+                          test_asr_correct.py; published 0.0094,
+                          asr/correct/README.md:55-58)
+- ctc_greedy_batched_rtf_L1  HEADLINE (last), same protocol as round 1
+
+Decode rows carry BOTH of BASELINE.json's north-star fields: `value` =
+RTF (decode_s_per_audio_s) and `utts_per_s_per_chip` (= 1/(RTF x 10 s)
+at these 10 s utterances), plus the (batch, beam) that produced them and
+the full sweep.
 
 vs_baseline for decode rows = reference_RTF / our_RTF (>1 = faster).
-The reference's only published RTF is CTC greedy 0.0033 on the author's
-CPU (`asr/correct/README.md:55-58`); the other baselines were measured on
-THIS host with the reference's own protocol (torch CPU, 1 thread, batch-1
-— `tools/measure_ref_rtf.py`), tagged baseline_src="measured_ref_cpu".
-This host's CPU measures CTC greedy at 0.038 (10 s utts), i.e. ~10x the
-published number, so measured-baseline ratios are NOT comparable to the
-published anchor; the headline row keeps the published 0.0033.
+The reference's published RTFs are CTC greedy 0.0033 and correction
+0.0094 on the author's CPU (`asr/correct/README.md:55-58`); all other
+baselines were measured on THIS host with the reference's own protocol
+(torch CPU, 1 thread, batch-1 — `tools/measure_ref_rtf.py`), tagged
+baseline_src="measured_ref_cpu".  This host measures CTC greedy at
+0.038 (10 s utts), ~10x the published number, so measured-baseline
+ratios are NOT comparable to published anchors; rows against published
+numbers say so in baseline_src.
 """
 
 import json
@@ -31,15 +51,22 @@ import numpy as np
 
 FRAME_SHIFT_S = 0.010
 
-# reference CPU RTFs (see module docstring for provenance)
+# published reference CPU RTFs (asr/correct/README.md:55-58)
 REF_PUBLISHED_CTC_GREEDY = 0.0033
+REF_PUBLISHED_CORRECT = 0.0094
+
 REF_RTF = {  # tools/measure_ref_rtf.py on this host (1 thread, batch-1,
-    # 10 s utterances — same shapes as the rows below)
-    "ctc_greedy_L1": 0.03808,
+    # 10 s utterances — same shapes as the rows below). Measured twice
+    # (round 2, round 3); cross-process CPU timing noise on this host is
+    # up to ~2x (rnnt_beam10: 0.41 r2 vs 0.80 r3), so each row keeps the
+    # FASTER (minimum) of the two runs — conservative for vs_baseline.
+    "ctc_greedy_L1": 0.02676,
     "ctc_beam8_L1": 0.12323,
     "rnnt_greedy_T5": 0.05975,
     "rnnt_beam10_T5": 0.40556,
-    "att_beam10_ctc_L3": 4.49134,
+    "att_beam10_ctc_L3": 4.41807,
+    "rescore_bert": 0.24531,
+    "correct_bert": 0.03221,
 }
 
 # bf16 peak TFLOP/s by TPU generation (public specs); MFU is reported
@@ -106,11 +133,10 @@ def main():
         enc_hidden_size=256, enc_intermediate_size=2048, vocab_size=10000,
     )
 
-
-    # ---------------- decode rows ----------------
+    # ---------------- decode machinery ----------------
     _var_cache = {}
 
-    def decode_rtf(cfg_kw, B, T, beam_width, beam_kw, lm=None, n=5):
+    def decode_rtf(cfg_kw, B, T, beam_width, beam_kw, lm=None, n=3):
         cfg = config_from_dict(cfg_kw)
         model = ASR(cfg)
         xs = jax.jit(lambda k: jax.random.normal(k, (B, T, 80)))(key)
@@ -144,16 +170,322 @@ def main():
         )
         return dt / (B * T * FRAME_SHIFT_S), mfu
 
-    # ---------------- headline: round-1 protocol, unchanged ----------
+    def decode_row(metric, cfg_kw, T, beam_width, beam_kw, batches,
+                   ref_key, lm=None, n=3, extra=None):
+        """Sweep batch to saturation; report RTF + utts/sec/chip
+        (BASELINE.json's north-star metric) at the best point."""
+        sweep = []
+        for B in batches:
+            rtf, mfu = decode_rtf(cfg_kw, B, T, beam_width, beam_kw, lm=lm, n=n)
+            sweep.append(
+                dict(
+                    batch=B,
+                    rtf=round(rtf, 6),
+                    utts_per_s_per_chip=round(1.0 / (rtf * T * FRAME_SHIFT_S), 2),
+                    mfu=mfu,
+                )
+            )
+        best = min(sweep, key=lambda c: c["rtf"])
+        ref = REF_RTF.get(ref_key)
+        row = {
+            "metric": metric,
+            "value": best["rtf"],
+            "unit": "decode_s_per_audio_s",
+            "utts_per_s_per_chip": best["utts_per_s_per_chip"],
+            "batch": best["batch"],
+            "beam": beam_width,
+            "mfu": best["mfu"],
+            "vs_baseline": round(ref / best["rtf"], 2) if ref else None,
+            "baseline_src": "measured_ref_cpu",
+            "batch_sweep": sweep,
+        }
+        if extra:
+            row.update(extra)
+        emit(row)
+        return best
+
+    # ---------------- L1 train step: steps/s + MFU ----------------
+    from emoasr_tpu.train.optim import build_optimizer
+    from emoasr_tpu.train.step import init_train_state, make_train_step
+
+    _train_shared = {}
+
+    def train_step_time(cfg_extra, shared_key, B, T, U, n=10):
+        base = dict(
+            spec_augment=True, lr_schedule_type="noam",
+            learning_rate=5.0, num_warmup_steps=25000, lsm_prob=0.0,
+            # hardware RNG: the production-config opt-in
+            # (configs/*/: rng_impl: unsafe_rbg; threefry masks cost
+            # ~half the step at these shapes)
+            rng_impl="unsafe_rbg",
+        )
+        base.update(cfg_extra)  # cfg_extra wins on conflicts
+        base.update(dropout_enc_rate=0.1, dropout_attn_rate=0.1)
+        cfg = config_from_dict(base)
+        tkey = jax.random.key(0, impl=cfg.rng_impl)
+        model = ASR(cfg)
+        if shared_key not in _train_shared:
+            xs = jnp.asarray(rng.normal(size=(B, T, 80)).astype(np.float32))
+            xlens = jnp.full((B,), T, jnp.int32)
+            ys = jnp.asarray(
+                rng.integers(3, cfg.vocab_size, (B, U)), dtype=jnp.int32
+            )
+            ylens = jnp.full((B,), U, jnp.int32)
+            ys_in = (
+                jnp.full((B, U + 1), cfg.eos_id, jnp.int32).at[:, 1:].set(ys)
+            )
+            ys_out = (
+                jnp.full((B, U + 1), cfg.eos_id, jnp.int32).at[:, :U].set(ys)
+            )
+            batch = dict(
+                xs=xs, xlens=xlens, ys=ys, ylens=ylens, ys_in=ys_in,
+                ys_out=ys_out,
+            )
+            # params are dtype/joint-mode independent: init ONCE per family
+            _train_shared[shared_key] = (
+                batch,
+                model.init(key, xs, xlens, ys, ylens, ys_in, ys_out),
+            )
+        batch, variables = _train_shared[shared_key]
+        tx = build_optimizer(cfg)
+        state = init_train_state(
+            variables["params"], variables.get("batch_stats", {}), tx
+        )
+        step = make_train_step(model, cfg, tx)
+
+        # AOT: ONE compile per variant, reused for cost analysis + timing
+        flops = None
+        try:
+            compiled = step.lower(state, batch, tkey).compile()
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0)) or None
+            step = compiled
+        except Exception:
+            pass
+
+        state, m = step(state, batch, tkey)
+        np.asarray(m["loss_total"])
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, m = step(state, batch, tkey)
+        np.asarray(m["loss_total"])
+        dt = (time.perf_counter() - t0) / n
+        return dt, flops
+
+    dt16, flops16 = train_step_time(
+        dict(L1, compute_dtype="bfloat16"), "l1", 32, 800, 48
+    )
+    dt32, _ = train_step_time(
+        dict(L1, compute_dtype="float32"), "l1", 32, 800, 48
+    )
+    mfu = (
+        round(flops16 / dt16 / (peak_tflops * 1e12), 4) if flops16 else None
+    )
+    emit(
+        {
+            "metric": "l1_train_step_bf16",
+            "value": round(1.0 / dt16, 2),
+            "unit": "steps_per_s",
+            "vs_baseline": round(dt32 / dt16, 2),
+            "step_ms": round(dt16 * 1000, 1),
+            "step_ms_f32": round(dt32 * 1000, 1),
+            "mfu": mfu,
+            "flops_per_step": flops16,
+            "assumed_peak_tflops_bf16": peak_tflops,
+            "device_kind": dev_kind,
+            "rng_impl": "unsafe_rbg",
+            "note": "vs_baseline = f32 step / bf16 step on-chip",
+        }
+    )
+
+    T5 = dict(
+        ENC, encoder_type="conformer", decoder_type="rnn_transducer",
+        pos_encode_type="rel", enc_hidden_size=256,
+        enc_intermediate_size=1024, embedding_size=128, dec_hidden_size=512,
+        dec_num_layers=1, joint_hidden_size=512, vocab_size=1000,
+        max_decode_ylen=100,
+    )
+
+    # T5 transducer train step: Pallas fused joint vs chunked lattice
+    # (the fused-kernel end-to-end win, driver-captured)
+    T5_TRAIN = dict(
+        T5, spec_augment=True, compute_dtype="bfloat16",
+        dropout_dec_rate=0.1, dropout_emb_rate=0.1,
+    )
+    dt_pallas, flops_t5 = train_step_time(
+        dict(T5_TRAIN, rnnt_joint_mode="pallas"), "t5", 16, 800, 48, n=5
+    )
+    dt_chunk, _ = train_step_time(
+        dict(T5_TRAIN, rnnt_joint_mode="chunked"), "t5", 16, 800, 48, n=5
+    )
+    emit(
+        {
+            "metric": "t5_train_step_bf16",
+            "value": round(1.0 / dt_pallas, 2),
+            "unit": "steps_per_s",
+            "vs_baseline": round(dt_chunk / dt_pallas, 2),
+            "step_ms": round(dt_pallas * 1000, 1),
+            "step_ms_chunked_joint": round(dt_chunk * 1000, 1),
+            "mfu": (
+                round(flops_t5 / dt_pallas / (peak_tflops * 1e12), 4)
+                if flops_t5 else None
+            ),
+            "note": "vs_baseline = chunked-joint step / Pallas-joint step",
+        }
+    )
+
+    # ---------------- decode rows (batch swept) ----------------
+    L3 = dict(
+        ENC, encoder_type="conformer", decoder_type="transformer",
+        pos_encode_type="rel", enc_hidden_size=256,
+        enc_intermediate_size=1024, dec_hidden_size=256,
+        dec_num_attention_heads=4, dec_num_layers=6,
+        dec_intermediate_size=2048, vocab_size=10000, mtl_ctc_weight=0.3,
+        max_decode_ylen=64, dropout_dec_rate=0.0,
+    )
+
+    decode_row(
+        "ctc_beam8_rtf_L1", L1, 1000, 8, {"len_weight": 2.0},
+        batches=[64, 128], ref_key="ctc_beam8_L1",
+    )
+    decode_row(
+        "rnnt_greedy_rtf_T5", T5, 1000, 0, {},
+        batches=[64, 128], ref_key="rnnt_greedy_T5",
+    )
+    decode_row(
+        "rnnt_beam10_rtf_T5", T5, 1000, 10, {},
+        batches=[16, 64], ref_key="rnnt_beam10_T5", n=2,
+    )
+
+    # L3-3: joint CTC + Transformer-LM shallow fusion (flagship)
+    from emoasr_tpu.models.lm.lm import TransformerLM
+    from emoasr_tpu.search.common import make_lm_fusion
+
+    lm_cfg = config_from_dict(
+        dict(
+            lm_type="transformer", vocab_size=10000, hidden_size=512,
+            num_layers=4, num_attention_heads=8, intermediate_size=2048,
+            max_seq_len=128, dropout_rate=0.0,
+        )
+    )
+    lm = TransformerLM(lm_cfg)
+    lvars = lm.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 2), jnp.int32), jnp.asarray([2])
+    )
+    fusion = make_lm_fusion(lm, lvars, 0.5, max_len=80)
+    decode_row(
+        "att_joint_sf_rtf_L3_3", L3, 1000, 10,
+        {"len_weight": 2.0, "decode_ctc_weight": 0.3},
+        batches=[16, 64], ref_key="att_beam10_ctc_L3", lm=fusion, n=2,
+        extra={
+            "fusion_mode": "stateless (auto-selected)",
+            "baseline_src": "measured_ref_cpu_no_sf",
+            "note": "reference baseline measured WITHOUT SF (its fusion "
+                    "would only be slower); conservative",
+        },
+    )
+
+    # ---------------- BERT PLL n-best rescoring RTF ----------------
+    from emoasr_tpu.eval.rescore import score_lm
+    from emoasr_tpu.models.lm.lm import LM as LMFacade
+
+    import pandas as pd
+
+    bert_cfg = config_from_dict(
+        dict(
+            lm_type="bert", vocab_size=10000, hidden_size=512, num_layers=4,
+            num_attention_heads=8, intermediate_size=2048, max_seq_len=256,
+            mask_id=9999, dropout_rate=0.0,
+        )
+    )
+    bert = LMFacade(bert_cfg)
+    bvars = bert.init(
+        jax.random.PRNGKey(2), jnp.zeros((1, 4), jnp.int32),
+        jnp.full((1,), 4, jnp.int32), jnp.full((1, 4), -100, jnp.int32),
+    )
+    n_utts, n_best, hyp_len = 10, 5, 20
+    rows = []
+    for i in range(n_utts):
+        for _ in range(n_best):
+            hyp = rng.integers(3, 9999, size=hyp_len)
+            rows.append(
+                dict(utt_id=f"s-u{i}-0-10000",
+                     token_id=" ".join(map(str, hyp)))
+            )
+    nbest_df = pd.DataFrame(rows)
+    score_lm(nbest_df.copy(), bert, bvars, max_len=256)  # warm/compile
+    t0 = time.perf_counter()
+    score_lm(nbest_df.copy(), bert, bvars, max_len=256)
+    dt = time.perf_counter() - t0
+    rtf = dt / (n_utts * 10.0)
+    ref = REF_RTF.get("rescore_bert")
+    emit(
+        {
+            "metric": "rescore_rtf_bert",
+            "value": round(rtf, 6),
+            "unit": "rescore_s_per_audio_s",
+            "vs_baseline": round(ref / rtf, 2) if ref else None,
+            "baseline_src": "measured_ref_cpu",
+            "note": f"{n_best}-best x {hyp_len} tokens per 10 s utt, BERT "
+                    "PLL scored in batched single forwards (all masked "
+                    "positions at once) vs the reference's 1-hyp chunks",
+        }
+    )
+
+    # ---------------- mask-and-fill correction RTF ----------------
+    from emoasr_tpu.eval.correct import Corrector
+
+    ccfg = config_from_dict(dict(L1))
+    cmodel = ASR(ccfg)
+    cvars = _var_cache.get(("transformer", "ctc", 10000))
+    if cvars is None:
+        B0 = 20
+        cvars = cmodel.init(
+            key, jnp.zeros((B0, 1000, 80)), jnp.full((B0,), 1000, jnp.int32),
+            method=ASR.decode_greedy,
+        )
+    corr = Corrector(
+        ccfg, cmodel, cvars, bert_cfg, bert, bvars,
+        mask_th=0.9, lm_weight=0.5,
+    )
+    B = 20
+    cbatch = dict(
+        xs=rng.normal(size=(B, 1000, 80)).astype(np.float32),
+        xlens=np.full((B,), 1000, np.int32),
+        utt_ids=[f"s-u{i}-0-10000" for i in range(B)],
+        texts=[""] * B,
+    )
+    corr.correct_batch(cbatch)  # warm/compile
+    t0 = time.perf_counter()
+    corr.correct_batch(cbatch)
+    dt = time.perf_counter() - t0
+    rtf = dt / (B * 10.0)
+    ref = REF_RTF.get("correct_bert")
+    emit(
+        {
+            "metric": "correct_rtf_bert",
+            "value": round(rtf, 6),
+            "unit": "correct_s_per_audio_s",
+            "vs_baseline": round(REF_PUBLISHED_CORRECT / rtf, 2),
+            "baseline_src": "published_0.0094",
+            "vs_measured_ref": round(ref / rtf, 2) if ref else None,
+            "batch": B,
+            "note": "greedy CTC + confidence mask (th=0.9) + BERT fill, "
+                    "batched; published RTF is the author's CPU",
+        }
+    )
+
+    # ---------------- HEADLINE (emitted last): round-1 protocol --------
     cfg = config_from_dict(dict(L1, dropout_enc_rate=0.0, dropout_attn_rate=0.0))
     model = ASR(cfg)
     B, T = 64, 1000
     xs = jnp.asarray(rng.normal(size=(B, T, 80)).astype(np.float32))
     xlens = jnp.full((B,), T, jnp.int32)
-    variables = model.init(key, xs, xlens, method=ASR.decode_greedy)
-    # the CTC-beam row below reuses this tree (same modules; params are
-    # shape-independent of B) to avoid a second expensive remote init
-    _var_cache[("transformer", "ctc", 10000)] = variables
+    variables = _var_cache.get(("transformer", "ctc", 10000))
+    if variables is None:
+        variables = model.init(key, xs, xlens, method=ASR.decode_greedy)
     decode = jax.jit(
         lambda v, x, l: model.apply(v, x, l, method=ASR.decode_greedy)
     )
@@ -180,190 +512,14 @@ def main():
             "metric": "ctc_greedy_batched_rtf_L1",
             "value": round(rtf, 6),
             "unit": "decode_s_per_audio_s",
+            "utts_per_s_per_chip": round(1.0 / (rtf * T * FRAME_SHIFT_S), 2),
+            "batch": B,
             "vs_baseline": round(REF_PUBLISHED_CTC_GREEDY / rtf, 2),
             "baseline_src": "published_0.0033",
-        }
-    )
-
-    # ---------------- L1 train step: steps/s + MFU ----------------
-    from emoasr_tpu.train.optim import build_optimizer
-    from emoasr_tpu.train.step import init_train_state, make_train_step
-
-    _train_shared = {}
-
-    def train_step_time(compute_dtype):
-        cfg = config_from_dict(
-            dict(
-                L1, spec_augment=True, lr_schedule_type="noam",
-                learning_rate=5.0, num_warmup_steps=25000, lsm_prob=0.0,
-                compute_dtype=compute_dtype,
-                dropout_enc_rate=0.1, dropout_attn_rate=0.1,
-            )
-        )
-        # production RNG for dropout/specaug streams (train/loop.py):
-        # threefry mask generation costs ~half the step at these shapes
-        tkey = jax.random.key(0, impl=cfg.rng_impl)
-        model = ASR(cfg)
-        B, T, U = 32, 800, 48
-        if not _train_shared:
-            xs = jnp.asarray(rng.normal(size=(B, T, 80)).astype(np.float32))
-            xlens = jnp.full((B,), T, jnp.int32)
-            ys = jnp.asarray(
-                rng.integers(3, cfg.vocab_size, (B, U)), dtype=jnp.int32
-            )
-            ylens = jnp.full((B,), U, jnp.int32)
-            ys_in = (
-                jnp.full((B, U + 1), cfg.eos_id, jnp.int32).at[:, 1:].set(ys)
-            )
-            ys_out = (
-                jnp.full((B, U + 1), cfg.eos_id, jnp.int32).at[:, :U].set(ys)
-            )
-            batch = dict(
-                xs=xs, xlens=xlens, ys=ys, ylens=ylens, ys_in=ys_in,
-                ys_out=ys_out,
-            )
-            # params are dtype-independent (f32 masters): init ONCE
-            _train_shared["batch"] = batch
-            _train_shared["variables"] = model.init(
-                key, xs, xlens, ys, ylens, ys_in, ys_out
-            )
-        batch = _train_shared["batch"]
-        variables = _train_shared["variables"]
-        tx = build_optimizer(cfg)
-        state = init_train_state(
-            variables["params"], variables.get("batch_stats", {}), tx
-        )
-        step = make_train_step(model, cfg, tx)
-
-        # AOT: ONE compile per dtype, reused for cost analysis AND timing
-        flops = None
-        try:
-            compiled = step.lower(state, batch, tkey).compile()
-            ca = compiled.cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0]
-            flops = float(ca.get("flops", 0.0)) or None
-            step = compiled
-        except Exception:
-            pass
-
-        def one(s):
-            s2, m = step(s, batch, tkey)
-            return s2, m
-
-        state, m = one(state)
-        np.asarray(m["loss_total"])
-        t0 = time.perf_counter()
-        n = 10
-        for _ in range(n):
-            state, m = one(state)
-        np.asarray(m["loss_total"])
-        dt = (time.perf_counter() - t0) / n
-        return dt, flops
-
-    dt16, flops16 = train_step_time("bfloat16")
-    dt32, _ = train_step_time("float32")
-    mfu = (
-        round(flops16 / dt16 / (peak_tflops * 1e12), 4)
-        if flops16
-        else None
-    )
-    emit(
-        {
-            "metric": "l1_train_step_bf16",
-            "value": round(1.0 / dt16, 2),
-            "unit": "steps_per_s",
-            "vs_baseline": round(dt32 / dt16, 2),
-            "step_ms": round(dt16 * 1000, 1),
-            "step_ms_f32": round(dt32 * 1000, 1),
-            "mfu": mfu,
-            "flops_per_step": flops16,
-            "assumed_peak_tflops_bf16": peak_tflops,
-            "device_kind": dev_kind,
-            "note": "vs_baseline = f32 step / bf16 step on-chip",
-        }
-    )
-
-    T5 = dict(
-        ENC, encoder_type="conformer", decoder_type="rnn_transducer",
-        pos_encode_type="rel", enc_hidden_size=256,
-        enc_intermediate_size=1024, embedding_size=128, dec_hidden_size=512,
-        dec_num_layers=1, joint_hidden_size=512, vocab_size=1000,
-        max_decode_ylen=100,
-    )
-    L3 = dict(
-        ENC, encoder_type="conformer", decoder_type="transformer",
-        pos_encode_type="rel", enc_hidden_size=256,
-        enc_intermediate_size=1024, dec_hidden_size=256,
-        dec_num_attention_heads=4, dec_num_layers=6,
-        dec_intermediate_size=2048, vocab_size=10000, mtl_ctc_weight=0.3,
-        max_decode_ylen=64, dropout_dec_rate=0.0,
-    )
-
-    rtf, mfu = decode_rtf(L1, 64, 1000, 8, {"len_weight": 2.0})
-    emit(
-        {
-            "metric": "ctc_beam8_rtf_L1",
-            "value": round(rtf, 6),
-            "unit": "decode_s_per_audio_s",
-            "vs_baseline": round(REF_RTF["ctc_beam8_L1"] / rtf, 2),
-            "mfu": mfu,
-            "baseline_src": "measured_ref_cpu",
-        }
-    )
-    rtf, mfu = decode_rtf(T5, 8, 1000, 0, {})
-    emit(
-        {
-            "metric": "rnnt_greedy_rtf_T5",
-            "value": round(rtf, 6),
-            "unit": "decode_s_per_audio_s",
-            "vs_baseline": round(REF_RTF["rnnt_greedy_T5"] / rtf, 2),
-            "mfu": mfu,
-            "baseline_src": "measured_ref_cpu",
-        }
-    )
-    rtf, mfu = decode_rtf(T5, 8, 1000, 10, {}, n=3)
-    emit(
-        {
-            "metric": "rnnt_beam10_rtf_T5",
-            "value": round(rtf, 6),
-            "unit": "decode_s_per_audio_s",
-            "vs_baseline": round(REF_RTF["rnnt_beam10_T5"] / rtf, 2),
-            "mfu": mfu,
-            "baseline_src": "measured_ref_cpu",
-        }
-    )
-
-    # L3-3: joint CTC + KV-cached Transformer-LM shallow fusion
-    from emoasr_tpu.models.lm.lm import TransformerLM
-    from emoasr_tpu.search.common import make_lm_fusion
-
-    lm_cfg = config_from_dict(
-        dict(
-            lm_type="transformer", vocab_size=10000, hidden_size=512,
-            num_layers=4, num_attention_heads=8, intermediate_size=2048,
-            max_seq_len=128, dropout_rate=0.0,
-        )
-    )
-    lm = TransformerLM(lm_cfg)
-    lvars = lm.init(
-        jax.random.PRNGKey(1), jnp.zeros((1, 2), jnp.int32), jnp.asarray([2])
-    )
-    fusion = make_lm_fusion(lm, lvars, 0.5, max_len=80)
-    rtf, mfu = decode_rtf(
-        L3, 8, 1000, 10,
-        {"len_weight": 2.0, "decode_ctc_weight": 0.3}, lm=fusion, n=3,
-    )
-    emit(
-        {
-            "metric": "att_joint_sf_rtf_L3_3",
-            "value": round(rtf, 6),
-            "unit": "decode_s_per_audio_s",
-            "mfu": mfu,
-            # reference baseline measured WITHOUT SF (its fusion would only
-            # be slower); conservative
-            "vs_baseline": round(REF_RTF["att_beam10_ctc_L3"] / rtf, 2),
-            "baseline_src": "measured_ref_cpu_no_sf",
+            "note": "protocol unchanged since r1; r1->r2 delta (2.5e-5 -> "
+                    "2.7e-5) came from r2's switch to distinct on-device "
+                    "rolled inputs per iteration (defeats transport-level "
+                    "result caching that flattered r1)",
         }
     )
 

@@ -101,18 +101,22 @@ class Corrector:
             "pbert", "pctc", "pelectra"
         )
 
+        # variables are jit ARGUMENTS, not closed over: closing over
+        # concrete param arrays embeds them as HLO constants (slow
+        # lowering, ~4x module size at L1 scale, defeats the persistent
+        # compile cache across processes)
         self._decode = jax.jit(
-            lambda xs, xlens: self._greedy(xs, xlens, False)
+            lambda v, xs, xlens: self._greedy(v, xs, xlens, False)
         )
         self._decode_phone = jax.jit(
-            lambda xs, xlens: self._greedy(xs, xlens, True)
+            lambda v, xs, xlens: self._greedy(v, xs, xlens, True)
         )
         self._lm_fill_jit = None  # built lazily (needs lm_model presence)
 
-    def _greedy(self, xs, xlens, phone):
+    def _greedy(self, variables, xs, xlens, phone):
         xs, xlens = preprocess(self.cfg, xs, xlens, None, False)
         return self.model.apply(
-            self.variables, xs, xlens, phone, method=ASR.decode_greedy
+            variables, xs, xlens, phone, method=ASR.decode_greedy
         )
 
     def _lm_fill(self, ys, ylens, ps=None, plens=None):
@@ -150,13 +154,13 @@ class Corrector:
         cfg = self.cfg
         xs = jnp.asarray(batch["xs"])
         xlens = jnp.asarray(batch["xlens"])
-        hyps, hyp_lens, logits, aligns = self._decode(xs, xlens)
+        hyps, hyp_lens, logits, aligns = self._decode(self.variables, xs, xlens)
         hyps, hyp_lens = np.asarray(hyps), np.asarray(hyp_lens)
         logits, aligns = np.asarray(logits), np.asarray(aligns)
 
         hyp_phone = None
         if self.use_phone:
-            ph, pl, _, _ = self._decode_phone(xs, xlens)
+            ph, pl, _, _ = self._decode_phone(self.variables, xs, xlens)
             hyp_phone, phone_lens = np.asarray(ph), np.asarray(pl)
 
         out = []

@@ -107,6 +107,80 @@ def main():
         dict(beam_width=10, len_weight=2.0, decode_ctc_weight=0.3),
     )
 
+    # BERT PLL n-best rescoring — the reference's --runtime protocol
+    # (`rescore/test_rescore_grid.py:120-145`: BATCH_SIZE=1, RTF =
+    # scoring wall / wavtime).  12M-class BERT (lm/README.md), 5 hyps of
+    # ~20 tokens per 10 s utterance.
+    import pandas as pd
+
+    import asr.rescore.test_rescore_grid as rg
+    from lm.modeling.lm import LM
+
+    lm = LM(P(
+        lm_type="bert", vocab_size=10000, hidden_size=512, num_layers=4,
+        num_attention_heads=8, intermediate_size=2048, max_seq_len=256,
+        mask_id=9999,  # 256 positions: untrained CTC can emit ~T/4 tokens
+    ), phase="test").eval()
+    rng = np.random.default_rng(0)
+    n_utts = 4 if args.quick else 10
+    rows = []
+    for i in range(n_utts):
+        for _ in range(5):
+            hyp = rng.integers(3, 9999, size=20)
+            rows.append(dict(
+                utt_id=f"s-u{i}-0-{T * 10}",
+                token_id=" ".join(map(str, hyp)),
+            ))
+    df = pd.DataFrame(rows)
+    rg.BATCH_SIZE = 1  # its runtime mode
+    rg.score_lm(df.head(5).copy(), lm, torch.device("cpu"))  # warm
+    t0 = time.perf_counter()
+    rg.score_lm(df.copy(), lm, torch.device("cpu"))
+    out["rescore_bert"] = (time.perf_counter() - t0) / (n_utts * T * 0.01)
+
+    # mask-and-fill correction — `test_asr_correct.py` protocol: batch-1
+    # greedy CTC + aggregate_logits + BERT fill (published RTF 0.0094,
+    # asr/correct/README.md:55-58).
+    import types as _types
+
+    if "git" not in sys.modules:
+        sys.modules["git"] = _types.ModuleType("git")
+    from asr.test_asr_correct import aggregate_logits
+
+    asr_m = ASR(P(
+        encoder_type="transformer", decoder_type="ctc", pos_encode_type="abs",
+        enc_hidden_size=256, enc_intermediate_size=2048, vocab_size=10000,
+        blank_id=0, eos_id=2, kd_weight=0.0, mtl_phone_ctc_weight=0.0,
+        mtl_inter_ctc_weight=0.0, **ENC,
+    ), phase="test").eval()
+
+    def correct_one(x):
+        with torch.no_grad():
+            hyps, _, logits, aligns = asr_m.decode(
+                x, torch.tensor([x.shape[1]]), beam_width=0, len_weight=0
+            )
+            hyp = np.array(hyps[0])
+            if len(hyp) < 1:
+                return []
+            tp, tv = aggregate_logits(logits[0], aligns[0], blank_id=0)
+            mask_idx = tv < 0.9
+            hyp_masked = hyp.copy()
+            hyp_masked[mask_idx] = 9999
+            lm_logits = lm(torch.tensor(hyp_masked)[None])
+            lm_probs = torch.softmax(lm_logits[0], dim=-1).numpy()
+            mix = 0.5 * tp[:, :10000] + 0.5 * lm_probs[:, :10000]
+            y = np.argmax(mix, -1)
+            hyp_cor = hyp.copy()
+            hyp_cor[mask_idx] = y[mask_idx]
+            return [t for t in hyp_cor if t != 0]
+
+    xs = [torch.randn(1, T, 80) for _ in range(max(2, N))]
+    correct_one(xs[0])  # warm
+    t0 = time.perf_counter()
+    for x in xs:
+        correct_one(x)
+    out["correct_bert"] = (time.perf_counter() - t0) / (len(xs) * T * 0.01)
+
     print("\n# measured reference CPU RTFs (torch 1 thread, batch-1):")
     for k, v in out.items():
         print(f'REF_RTF["{k}"] = {v:.5f}')
