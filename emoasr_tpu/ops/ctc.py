@@ -19,6 +19,12 @@ import jax.numpy as jnp
 
 from emoasr_tpu.ops.common import LOG_0, logaddexp3
 
+# Unroll factor for the time scans.  Each scan step is tiny ((B, 2U+1)
+# elementwise + gathers), so the sequential-iteration overhead dominates
+# on TPU; unrolling amortizes it without changing the math (same
+# floating-point op order per step).
+SCAN_UNROLL = 1
+
 
 def _extend_with_blanks(labels: jnp.ndarray, blank_id: int) -> jnp.ndarray:
     """(B, U) labels -> (B, 2U+1) blank-interleaved path ^a^b^ ... ^."""
@@ -84,7 +90,9 @@ def ctc_loss(
         return new, None
 
     ts = jnp.arange(1, T)
-    alpha, _ = jax.lax.scan(step, alpha0, (lp_path[1:], ts))
+    alpha, _ = jax.lax.scan(
+        step, alpha0, (lp_path[1:], ts), unroll=SCAN_UNROLL
+    )
 
     # log-likelihood: LSE over final blank (s=2U) and final label (s=2U-1)
     s_last = (2 * ylens).astype(jnp.int32)
@@ -139,7 +147,7 @@ def _pre_emission_scan(lp_path, allow2, path_lens):
         pre = jnp.where(inside, pre, LOG_0)
         return pre + lp_t, pre
 
-    _, pres = jax.lax.scan(step, alpha0, lp_path)
+    _, pres = jax.lax.scan(step, alpha0, lp_path, unroll=SCAN_UNROLL)
     return pres
 
 
