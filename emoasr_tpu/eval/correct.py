@@ -73,6 +73,48 @@ def aggregate_logits(
     return np.asarray(token_probs), np.asarray(token_probs_v)
 
 
+def aggregate_logits_device(
+    logits: jnp.ndarray, aligns: jnp.ndarray, blank_id: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched on-device `aggregate_logits`: same per-segment peak-frame
+    rule (test_asr_correct.py:39-72), vectorized over (B, T).
+
+    Returns (token_probs (B, T, V), confidences (B, T)): segment k of row
+    b (k-th greedy token) fills slot [b, k]; unused tail slots carry -inf
+    confidence.  Keeping this on device avoids shipping the (B, T, V)
+    logits through host transfers (~10 MB/utterance over the TPU tunnel —
+    it dominated correction RTF when done per utterance on host).
+    """
+    B, T, V = logits.shape
+    probs = jax.nn.softmax(logits.astype(jnp.float32), -1)
+    nb = aligns != blank_id  # (B, T) non-blank frames
+    prev = jnp.pad(aligns, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
+    boundary = nb & (aligns != prev)  # segment starts (== greedy emissions)
+    seg = jnp.cumsum(boundary.astype(jnp.int32), axis=1) - 1  # (B, T)
+    seg_safe = jnp.where(nb, seg, T)  # park blank frames out of range
+
+    ptok = jnp.take_along_axis(
+        probs, aligns[:, :, None].astype(jnp.int32), axis=2
+    )[:, :, 0]
+    ptok = jnp.where(nb, ptok, -jnp.inf)  # (B, T)
+
+    # member[b, k, t]: frame t belongs to segment k
+    member = seg_safe[:, None, :] == jnp.arange(T)[None, :, None]
+    conf = jnp.max(
+        jnp.where(member, ptok[:, None, :], -jnp.inf), axis=2
+    )  # (B, T)
+
+    # first frame achieving the segment max (np.argmax tie-break)
+    t_idx = jnp.arange(T)[None, None, :]
+    hit = member & (ptok[:, None, :] == conf[:, :, None])
+    best_t = jnp.min(jnp.where(hit, t_idx, T), axis=2)  # (B, T)
+
+    token_probs = jnp.take_along_axis(
+        probs, jnp.minimum(best_t, T - 1)[:, :, None], axis=1
+    )  # (B, T, V); rows beyond the segment count are arbitrary
+    return token_probs, conf
+
+
 class Corrector:
     """Bundles the ASR model + correction LM and applies one batch."""
 
@@ -112,6 +154,7 @@ class Corrector:
             lambda v, xs, xlens: self._greedy(v, xs, xlens, True)
         )
         self._lm_fill_jit = None  # built lazily (needs lm_model presence)
+        self._correct_core_jit = None
 
     def _greedy(self, variables, xs, xlens, phone):
         xs, xlens = preprocess(self.cfg, xs, xlens, None, False)
@@ -149,14 +192,66 @@ class Corrector:
             probs = self._lm_fill_jit(self.lm_variables, ys, ylens)
         return np.asarray(probs)
 
+    def _correct_core(
+        self, lm_variables, hyps, hyp_lens, logits, aligns,
+        ps=None, plens=None,
+    ):
+        """Device pipeline: aggregate -> confidence mask -> LM fill ->
+        probability mix -> corrected tokens.
+
+        Runs entirely on device between the greedy decode and the final
+        small host pull; the previous host loop shipped the full (B, T, V)
+        logits through the tunnel per batch (RTF-dominating).
+        Returns (hyp_cor (B, K), mask (B, K), conf_ok_len (B,)) where K =
+        min(T_sub, lm max_seq_len).
+        """
+        cfg = self.cfg
+        B, T, V = logits.shape
+        K = hyps.shape[1]
+        max_len = getattr(self.lm_cfg, "max_seq_len", K) or K
+        K = min(K, max_len)
+
+        tp, conf = aggregate_logits_device(logits, aligns, cfg.blank_id)
+        tp, conf = tp[:, :K], conf[:, :K]
+        hyps_k = hyps[:, :K]
+        lens_k = jnp.minimum(hyp_lens, K)
+        in_hyp = jnp.arange(K)[None, :] < lens_k[:, None]  # (B, K)
+        mask = in_hyp & (conf < self.mask_th)
+
+        ys = jnp.where(mask, self.lm_cfg.mask_id, hyps_k)
+        ys = jnp.where(in_hyp, ys, self.lm_cfg.eos_id).astype(jnp.int32)
+        ylens = jnp.maximum(lens_k, 1).astype(jnp.int32)
+
+        if self.use_phone:
+            lm_logits = self.lm_model.apply(
+                lm_variables, ys, ylens, None, ps, plens,
+                method=type(self.lm_model).__call__,
+            )
+        else:
+            lm_logits = self.lm_model.apply(
+                lm_variables, ys, ylens, None,
+                method=type(self.lm_model).__call__,
+            )
+        lm_probs = jax.nn.softmax(lm_logits.astype(jnp.float32), -1)
+
+        Vmix = min(V, lm_probs.shape[-1])
+        mix = (
+            (1.0 - self.lm_weight) * tp[:, :, :Vmix]
+            + self.lm_weight * lm_probs[:, :, :Vmix]
+        )
+        y_gen = jnp.argmax(mix, axis=-1).astype(hyps_k.dtype)
+        hyp_cor = jnp.where(mask, y_gen, hyps_k)
+        return hyp_cor, mask, lens_k
+
     def correct_batch(self, batch) -> List[Tuple[str, List[int], str, int, int]]:
         """Returns rows (utt_id, corrected_ids, reftext, n_masked, n_tokens)."""
         cfg = self.cfg
         xs = jnp.asarray(batch["xs"])
         xlens = jnp.asarray(batch["xlens"])
-        hyps, hyp_lens, logits, aligns = self._decode(self.variables, xs, xlens)
-        hyps, hyp_lens = np.asarray(hyps), np.asarray(hyp_lens)
-        logits, aligns = np.asarray(logits), np.asarray(aligns)
+        hyps_d, hyp_lens_d, logits_d, aligns_d = self._decode(
+            self.variables, xs, xlens
+        )
+        hyps, hyp_lens = np.asarray(hyps_d), np.asarray(hyp_lens_d)
 
         hyp_phone = None
         if self.use_phone:
@@ -182,62 +277,33 @@ class Corrector:
                 )
             return out
 
-        # mask low-confidence tokens per utterance
-        masked_list, info = [], []
-        for b, utt_id in enumerate(batch["utt_ids"]):
-            hyp = hyps[b, : hyp_lens[b]]
-            if len(hyp) == 0:
-                info.append((utt_id, None, batch["texts"][b], 0, 0))
-                masked_list.append(np.zeros(0, np.int32))
-                continue
-            elen = int(np.asarray(batch["xlens"])[b]) // cfg.num_framestacks
-            # logits/aligns live on the subsampled time axis
-            T_sub = logits.shape[1]
-            al = aligns[b][:T_sub]
-            tp, tv = aggregate_logits(logits[b], al, cfg.blank_id)
-            assert len(hyp) == len(tv), (len(hyp), len(tv))
-            mask_idx = tv < self.mask_th
-            hyp_masked = hyp.copy()
-            hyp_masked[mask_idx] = self.lm_cfg.mask_id
-            masked_list.append(hyp_masked)
-            info.append(
-                (utt_id, (hyp, tp, mask_idx), batch["texts"][b],
-                 int(mask_idx.sum()), len(hyp))
-            )
-
-        # batched LM fill over padded masked hyps
-        Lmax = max((len(m) for m in masked_list), default=1) or 1
-        B = len(masked_list)
-        ys = np.full((B, Lmax), self.lm_cfg.eos_id, np.int32)
-        yl = np.ones(B, np.int32)
-        for b, m in enumerate(masked_list):
-            ys[b, : len(m)] = m
-            yl[b] = max(len(m), 1)
+        # device pipeline: aggregate -> mask -> LM fill -> mix -> argmax
+        if self._correct_core_jit is None:
+            self._correct_core_jit = jax.jit(self._correct_core)
         if self.use_phone:
-            PL = hyp_phone.shape[1]
-            lm_probs = self._lm_fill(
-                jnp.asarray(ys), jnp.asarray(yl),
+            hyp_cor_d, mask_d, lens_d = self._correct_core_jit(
+                self.lm_variables, hyps_d, hyp_lens_d, logits_d, aligns_d,
                 jnp.asarray(hyp_phone), jnp.asarray(phone_lens),
             )
         else:
-            lm_probs = self._lm_fill(jnp.asarray(ys), jnp.asarray(yl))
+            hyp_cor_d, mask_d, lens_d = self._correct_core_jit(
+                self.lm_variables, hyps_d, hyp_lens_d, logits_d, aligns_d
+            )
+        hyp_cor = np.asarray(hyp_cor_d)
+        mask = np.asarray(mask_d)
+        lens_k = np.asarray(lens_d)
 
-        V = self.cfg.vocab_size
         results = []
-        for b, (utt_id, payload, reftext, n_masked, n_tokens) in enumerate(info):
-            if payload is None:
-                results.append((utt_id, [], reftext, 0, 0))
+        for b, utt_id in enumerate(batch["utt_ids"]):
+            n = int(lens_k[b])
+            if n == 0:
+                results.append((utt_id, [], batch["texts"][b], 0, 0))
                 continue
-            hyp, tp, mask_idx = payload
-            mix = (1 - self.lm_weight) * tp[:, :V] + self.lm_weight * lm_probs[
-                b, : len(hyp), :V
-            ]
-            y_gen = np.argmax(mix, axis=-1)
-            hyp_cor = hyp.copy()
-            hyp_cor[mask_idx] = y_gen[mask_idx]
             # deletable PC-MLM: masks predicted as pad/blank are removed
-            hyp_cor = [int(x) for x in hyp_cor if x != cfg.blank_id]
-            results.append((utt_id, hyp_cor, reftext, n_masked, n_tokens))
+            cor = [int(x) for x in hyp_cor[b, :n] if x != cfg.blank_id]
+            results.append(
+                (utt_id, cor, batch["texts"][b], int(mask[b, :n].sum()), n)
+            )
         return results
 
 

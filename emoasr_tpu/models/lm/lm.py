@@ -83,9 +83,15 @@ class TransformerLM(nn.Module):
         return None  # stateless
 
     def predict(self, ys, ylens, states=None):
-        logits = self.logits(ys, ylens)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-        return _gather_last(logp, ylens), states
+        # gather the last hidden state BEFORE the vocab head: the head is
+        # position-wise, so head(h)[last] == head(h[last]) exactly, and
+        # projecting only the needed position turns the per-beam-step
+        # cost from O(L·H·V) into O(H·V) — at the flagship L3-3 fusion
+        # shapes (640 beams x L=80 x V=10k) that removes a ~500 GFLOP
+        # matmul and a (B·W, L, V) float32 log-softmax per decode step
+        h = self.stack(ys, ylens, causal=True)
+        logits = self.head(_gather_last(h, ylens))
+        return jax.nn.log_softmax(logits.astype(jnp.float32), -1), states
 
     def init_cache(self, B: int, max_len: int):
         """Self-attention KV caches for incremental `predict_step`."""

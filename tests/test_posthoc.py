@@ -149,6 +149,33 @@ def test_aggregate_logits():
     np.testing.assert_allclose(tv[1], probs[3, 2], rtol=1e-6)
 
 
+def test_aggregate_logits_device_matches_host():
+    """Batched device aggregation == per-utterance host reference rule
+    (segment split on frame-value change, peak-frame row, first-max
+    tie-break), including blank gaps between equal tokens."""
+    from emoasr_tpu.eval.correct import aggregate_logits_device
+
+    rng = np.random.default_rng(3)
+    B, T, V = 4, 17, 9
+    logits = rng.normal(size=(B, T, V)).astype(np.float32)
+    # random alignments with blanks and repeated-token segments
+    aligns = rng.integers(0, 4, size=(B, T)).astype(np.int32)
+    aligns[2, :] = 0  # fully blank row (empty hyp)
+    tp_d, conf_d = aggregate_logits_device(
+        jnp.asarray(logits), jnp.asarray(aligns), blank_id=0
+    )
+    tp_d, conf_d = np.asarray(tp_d), np.asarray(conf_d)
+    for b in range(B):
+        tp_h, tv_h = aggregate_logits(logits[b], aligns[b], blank_id=0)
+        U = len(tv_h)
+        if U == 0:
+            assert not np.any(np.isfinite(conf_d[b]))
+            continue
+        np.testing.assert_allclose(conf_d[b, :U], tv_h, rtol=1e-5)
+        np.testing.assert_allclose(tp_d[b, :U], tp_h, rtol=1e-5)
+        assert not np.any(np.isfinite(conf_d[b, U:]))
+
+
 def test_compare_wer(tmp_path):
     from emoasr_tpu.eval.analysis import compare_wer
 

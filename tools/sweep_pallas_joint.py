@@ -1,0 +1,172 @@
+"""On-chip check + timing for the Pallas fused RNN-T joint.
+
+1. Numerics: fused kernel (compiled Mosaic) vs chunked-JAX lattice at T5
+   train shapes, f32 and bf16.
+2. Speed: T5 transducer train step, pallas vs chunked joint, with a
+   t_chunk sweep for the kernel.
+
+Usage: python tools/sweep_pallas_joint.py [--t-chunks 8,16] [--reps 5]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--t-chunks", default="8,16")
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--skip-train", action="store_true")
+    args = ap.parse_args()
+    t_chunks = [int(x) for x in args.t_chunks.split(",")]
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache",
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from emoasr_tpu.ops.rnnt import rnnt_gathered_from_joint
+    from emoasr_tpu.ops.rnnt_pallas import fused_joint_gather_fwd
+
+    B, T, U1, J, V = 16, 800, 49, 512, 1000
+    rng = np.random.default_rng(0)
+    h_enc = jnp.asarray(rng.normal(size=(B, T, J)).astype(np.float32) * 0.5)
+    h_dec = jnp.asarray(rng.normal(size=(B, U1, J)).astype(np.float32) * 0.5)
+    w = jnp.asarray(rng.normal(size=(J, V)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32) * 0.1)
+    labels = jnp.asarray(rng.integers(1, V, (B, U1 - 1)).astype(np.int32))
+
+    ref = jax.jit(
+        lambda he, hd: rnnt_gathered_from_joint(
+            he, hd, w, b, labels, 0, 32
+        )
+    )
+    lpb_ref, lpl_ref = ref(h_enc, h_dec)
+    lpb_ref, lpl_ref = np.asarray(lpb_ref), np.asarray(lpl_ref)
+
+    timers = {}
+    for tc in t_chunks:
+        for dt_name, cast in [("f32", jnp.float32), ("bf16", jnp.bfloat16)]:
+            f = jax.jit(
+                lambda he, hd, tc=tc: fused_joint_gather_fwd(
+                    he, hd, w, b, labels, 0, tc, 512
+                )
+            )
+            he, hd = h_enc.astype(cast), h_dec.astype(cast)
+            t0 = time.perf_counter()
+            lpb, lpl = f(he, hd)
+            lpb, lpl = np.asarray(lpb), np.asarray(lpl)
+            print(f"t_chunk={tc} {dt_name}: compile+run "
+                  f"{time.perf_counter() - t0:.1f}s", flush=True)
+            tol = 5e-3 if dt_name == "f32" else 0.12
+            err_b = np.max(np.abs(lpb - lpb_ref))
+            err_l = np.max(np.abs(lpl - lpl_ref))
+            print(f"  maxdiff lpb={err_b:.4g} lpl={err_l:.4g}", flush=True)
+            assert err_b < tol and err_l < tol, (tc, dt_name, err_b, err_l)
+            timers[f"fused_t{tc}_{dt_name}"] = f
+
+    # time forward alone, round-robin
+    cands = {"chunked_f32": lambda: ref(h_enc, h_dec)}
+    for k, f in timers.items():
+        cast = jnp.bfloat16 if k.endswith("bf16") else jnp.float32
+        he, hd = h_enc.astype(cast), h_dec.astype(cast)
+        cands[k] = (lambda f=f, he=he, hd=hd: f(he, hd))
+    for k in cands:
+        np.asarray(cands[k]()[0])
+    times = {k: [] for k in cands}
+    for _ in range(args.reps):
+        for k in cands:
+            out = cands[k]()
+            np.asarray(out[0])
+            t0 = time.perf_counter()
+            np.asarray(cands[k]()[0])
+            times[k].append(time.perf_counter() - t0)
+    print("\n| fwd variant | median ms |")
+    print("|---|---|")
+    for k in cands:
+        print(f"| {k} | {np.median(times[k]) * 1e3:.2f} |")
+
+    if args.skip_train:
+        return
+
+    # full T5 train step pallas-vs-chunked (bench protocol)
+    from emoasr_tpu.config import config_from_dict
+    from emoasr_tpu.models.asr import ASR
+    from emoasr_tpu.train.optim import build_optimizer
+    from emoasr_tpu.train.step import init_train_state, make_train_step
+
+    ENC = dict(
+        input_layer="conv2d", feat_dim=80, enc_num_attention_heads=4,
+        enc_num_layers=12, dropout_enc_rate=0.1, dropout_attn_rate=0.1,
+        spec_augment=True, lr_schedule_type="noam", learning_rate=5.0,
+        num_warmup_steps=25000, lsm_prob=0.0, rng_impl="unsafe_rbg",
+        compute_dtype="bfloat16",
+    )
+    T5 = dict(
+        ENC, encoder_type="conformer", decoder_type="rnn_transducer",
+        pos_encode_type="rel", enc_hidden_size=256,
+        enc_intermediate_size=2048, dec_hidden_size=512, dec_num_layers=1,
+        joint_hidden_size=512, vocab_size=1000, max_decode_ylen=100,
+        spec_augment=True, dropout_dec_rate=0.1, dropout_emb_rate=0.1,
+    )
+    Bt, Tt, Ut = 16, 800, 48
+    xs = jnp.asarray(rng.normal(size=(Bt, Tt, 80)).astype(np.float32))
+    xlens = jnp.full((Bt,), Tt, jnp.int32)
+    ys = jnp.asarray(rng.integers(3, 999, size=(Bt, Ut)).astype(np.int32))
+    ylens = jnp.full((Bt,), Ut, jnp.int32)
+    ys_in = jnp.concatenate([jnp.full((Bt, 1), 2, jnp.int32), ys[:, :-1]], 1)
+    batch = dict(xs=xs, xlens=xlens, ys=ys, ylens=ylens, ys_in=ys_in,
+                 ys_out=ys)
+    key = jax.random.PRNGKey(0)
+    tkey = jax.random.key(0, impl="unsafe_rbg")
+
+    init = None
+    runs = {}
+    for mode in ["pallas", "chunked"]:
+        cfg = config_from_dict(dict(T5, rnnt_joint_mode=mode))
+        model = ASR(cfg)
+        if init is None:
+            init = model.init(key, xs, xlens, ys, ylens, ys_in, ys)
+        tx = build_optimizer(cfg)
+        state = init_train_state(init["params"], init.get("batch_stats", {}),
+                                 tx)
+        step = make_train_step(model, cfg, tx)
+        c = step.lower(state, batch, tkey).compile()
+        holder = {"s": state}
+
+        def run(c=c, h=holder):
+            h["s"], m = c(h["s"], batch, tkey)
+            return m["loss_total"]
+
+        runs[mode] = run
+
+    for k in runs:
+        np.asarray(runs[k]())
+    tt = {k: [] for k in runs}
+    for _ in range(args.reps * 2):
+        for k in runs:
+            np.asarray(runs[k]())
+            t0 = time.perf_counter()
+            np.asarray(runs[k]())
+            tt[k].append(time.perf_counter() - t0)
+    print("\n| train step | median ms |")
+    print("|---|---|")
+    for k in runs:
+        print(f"| {k} | {np.median(tt[k]) * 1e3:.2f} |")
+
+
+if __name__ == "__main__":
+    main()
