@@ -78,6 +78,11 @@ def attention_beam_search(
     V = vocab_size
     Lmax = max_decode_ylen + 2
     use_ctc = decode_ctc_weight > 0
+    # time-major-last table for the prefix scorer's per-candidate row
+    # gather (one transpose per utterance batch, loop-invariant)
+    ctc_lp_T = (
+        ctc_log_probs.transpose(0, 2, 1) if use_ctc else None
+    )
     K2 = min(V, int(W * CTC_BEAM_WIDTH_RATIO)) if use_ctc else W
     lm_weight = lm.weight if lm is not None else 0.0
 
@@ -163,7 +168,7 @@ def attention_beam_search(
             # pre-select K2 candidates by att(+lm) (transformer.py:222-232)
             pre_sc, v_topb = jax.lax.top_k(scores_pre, K2)  # (B, W, K2)
             psi, ctc_state_new = ctc_prefix_score_step(
-                ctc_log_probs, elens, state.hyps, state.lens, v_topb,
+                ctc_lp_T, elens, state.hyps, state.lens, v_topb,
                 state.ctc_state, blank_id, eos_id,
             )
             # the reference re-scores (1-w)*scores + w*ctc_delta + lm, where

@@ -35,7 +35,7 @@ def ctc_prefix_initial_state(
 
 
 def ctc_prefix_score_step(
-    log_probs: jnp.ndarray,
+    log_probs_T: jnp.ndarray,
     elens: jnp.ndarray,
     hyps: jnp.ndarray,
     hyp_lens: jnp.ndarray,
@@ -46,11 +46,12 @@ def ctc_prefix_score_step(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Score K candidate extensions of each beam's prefix.
 
-    log_probs: (B, T, V); hyps: (B, W, L) with leading eos; hyp_lens (B, W);
-    cs: (B, W, K) candidate tokens; r_prev: (B, W, T, 2).
+    log_probs_T: (B, V, T) — the frame log-probs TIME-MAJOR-LAST (callers
+    transpose once per utterance batch); hyps: (B, W, L) with leading eos;
+    hyp_lens (B, W); cs: (B, W, K) candidate tokens; r_prev: (B, W, T, 2).
     Returns (log_psi (B, W, K), r_new (B, W, K, T, 2)).
     """
-    B, T, V = log_probs.shape
+    B, V, T = log_probs_T.shape
     W, K = cs.shape[1], cs.shape[2]
     olen = hyp_lens - 1  # output length excluding the leading eos (B, W)
 
@@ -58,21 +59,18 @@ def ctc_prefix_score_step(
         hyps, jnp.maximum(hyp_lens - 1, 0)[:, :, None], axis=2
     )[:, :, 0]  # (B, W)
 
-    # xs: per-candidate emissions (B, W, K, T), extracted as a one-hot
-    # MXU matmul.  A take_along_axis gather over the (B, T, V) table costs
-    # ~10 ms/step at L3-decode sizes (random HBM access); the equivalent
-    # (WK, V) x (V, T) matmul is ~6 GFLOP and essentially free.
-    onehot = jax.nn.one_hot(
-        cs.reshape(B, W * K), V, dtype=log_probs.dtype
-    )  # (B, WK, V)
-    # HIGHEST precision: the default TPU matmul runs bf16 passes, which
-    # perturbs emissions by ~1e-2 in log-space and re-ranks near-tied beam
-    # candidates vs the reference scorer (verified empirically)
-    xs = jnp.einsum(
-        "bjv,btv->bjt", onehot, log_probs,
-        precision=jax.lax.Precision.HIGHEST,
+    # xs: per-candidate emissions (B, W, K, T).  With the (B, V, T)
+    # layout each candidate is one CONTIGUOUS T-row, so this is a cheap
+    # embedding-style row gather and exact.  (Two rejected layouts: a
+    # take_along_axis over (B, T, V) strides by V per frame — ~10 ms/step
+    # at L3 sizes; a one-hot (WK, V) x (V, T) matmul is exact only at
+    # precision=HIGHEST, which costs ~120 GFLOP/step in f32 passes at
+    # W=10, K=15, V=10k.)
+    xs = jnp.take_along_axis(
+        log_probs_T, cs.reshape(B, W * K)[:, :, None].astype(jnp.int32),
+        axis=1,
     ).reshape(B, W, K, T)
-    blanks = log_probs[:, :, blank_id][:, None, None, :]  # (B, 1, 1, T)
+    blanks = log_probs_T[:, blank_id][:, None, None, :]  # (B, 1, 1, T)
 
     r_sum = jnp.logaddexp(r_prev[..., 0], r_prev[..., 1])  # (B, W, T)
     is_last = (cs == last[:, :, None]) & (olen > 0)[:, :, None]  # (B, W, K)

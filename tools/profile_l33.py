@@ -1,0 +1,140 @@
+"""L3-3 fused-decode breakdown on the chip.
+
+Times the flagship attention-beam decode (B configurable, W=10, T=1000
+frames -> 250 encoder frames, vocab 10k) in component ablations, all
+AOT-compiled in one process, round-robin:
+
+- att            plain attention beam (no CTC, no LM)
+- att_ctc        + joint CTC prefix scoring (w=0.3)
+- att_sf         + stateless-LM shallow fusion only (w=0.5)
+- att_sf_cached  + KV-cached-LM shallow fusion only
+- full           att + CTC + stateless LM (the bench L3-3 row)
+- full_cached    att + CTC + cached LM
+
+Deltas vs `att` isolate each component's per-decode cost.
+
+Usage: python tools/profile_l33.py [--batch 16] [--reps 3]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--variants", default=(
+        "att,att_ctc,att_sf,att_sf_cached,full,full_cached"
+    ))
+    args = ap.parse_args()
+    want = set(args.variants.split(","))
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache",
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from emoasr_tpu.config import config_from_dict
+    from emoasr_tpu.eval.decode import build_decode_fn
+    from emoasr_tpu.models.asr import ASR
+    from emoasr_tpu.models.lm.lm import TransformerLM
+    from emoasr_tpu.search.common import make_lm_fusion
+
+    B, T = args.batch, 1000
+    ENC = dict(
+        input_layer="conv2d", feat_dim=80, enc_num_attention_heads=4,
+        enc_num_layers=12, dropout_enc_rate=0.0, dropout_attn_rate=0.0,
+    )
+    L3 = dict(
+        ENC, encoder_type="conformer", decoder_type="transformer",
+        pos_encode_type="rel", enc_hidden_size=256,
+        enc_intermediate_size=2048, dec_num_layers=6,
+        dec_intermediate_size=2048, dec_num_attention_heads=4,
+        vocab_size=10000, dec_hidden_size=256,
+        max_decode_ylen=64, dropout_dec_rate=0.0,
+    )
+    cfg = config_from_dict(L3)
+    model = ASR(cfg)
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    xs = jax.jit(lambda k: jax.random.normal(k, (B, T, 80)))(key)
+    xlens = jnp.full((B,), T, jnp.int32)
+    variables = model.init(key, xs, xlens, method=ASR.decode_greedy)
+
+    lm_cfg = config_from_dict(
+        dict(
+            lm_type="transformer", vocab_size=10000, hidden_size=512,
+            num_layers=4, num_attention_heads=8, intermediate_size=2048,
+            max_seq_len=128, dropout_rate=0.0,
+        )
+    )
+    lm = TransformerLM(lm_cfg)
+    lvars = lm.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 2), jnp.int32), jnp.asarray([2])
+    )
+
+    def build(beam_kw, lm_mode=None):
+        lmf = (
+            make_lm_fusion(lm, lvars, 0.5, max_len=80, mode=lm_mode)
+            if lm_mode
+            else None
+        )
+        decode = build_decode_fn(
+            model, variables, cfg, beam_width=10, lm=lmf, **beam_kw
+        )
+        return decode.lower(xs, xlens).compile()
+
+    specs = {
+        "att": ({"len_weight": 2.0}, None),
+        "att_ctc": ({"len_weight": 2.0, "decode_ctc_weight": 0.3}, None),
+        "att_sf": ({"len_weight": 2.0}, "stateless"),
+        "att_sf_cached": ({"len_weight": 2.0}, "cached"),
+        "full": ({"len_weight": 2.0, "decode_ctc_weight": 0.3}, "stateless"),
+        "full_cached": (
+            {"len_weight": 2.0, "decode_ctc_weight": 0.3}, "cached"
+        ),
+    }
+    runs = {}
+    for name, (kw, mode) in specs.items():
+        if name not in want:
+            continue
+        t0 = time.perf_counter()
+        c = build(kw, mode)
+        print(f"{name}: compiled in {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        runs[name] = lambda c=c: c(xs, xlens)
+
+    for n in runs:
+        np.asarray(runs[n]()[0])
+    times = {n: [] for n in runs}
+    for _ in range(args.reps):
+        for n in runs:
+            out = runs[n]()
+            np.asarray(out[0])
+            t0 = time.perf_counter()
+            np.asarray(runs[n]()[0])
+            times[n].append(time.perf_counter() - t0)
+    audio_s = B * T * 0.01
+    print(f"\n| variant | median ms | RTF (B={B}) |")
+    print("|---|---|---|")
+    for n in runs:
+        med = float(np.median(times[n]))
+        print(f"| {n} | {med * 1e3:.1f} | {med / audio_s:.5f} |")
+
+
+if __name__ == "__main__":
+    main()
