@@ -141,6 +141,12 @@ def fused_joint_gather_fwd(
     U1 = h_dec.shape[1]
     U = U1 - 1
     V = w_out.shape[1]
+    if labels.shape[1] != U:
+        raise ValueError(
+            f"labels length {labels.shape[1]} != h_dec length - 1 ({U}); "
+            "the prediction net output must be U+1 long (blank/sos-led, "
+            "data/asr_dataset.py convention)"
+        )
 
     # mixed precision: z and the z@W matmul run in the activations'
     # dtype (bf16 under compute_dtype=bfloat16 — MXU-native), with f32
@@ -151,7 +157,12 @@ def fused_joint_gather_fwd(
 
     h_enc_p = _pad_to(h_enc, 1, t_chunk)
     Tp = h_enc_p.shape[1]
-    h_dec_p = _pad_to(h_dec, 1, 128)
+    # U+1 pads to the sublane multiple (8), NOT the lane multiple (128):
+    # U is a middle dim everywhere it appears (z rows are Tc*Up, logits
+    # are (Tc, Up, Vc)), and padding 49 -> 128 was tripling the joint
+    # matmul FLOPs at typical U~50 (measured slower than the chunked
+    # lattice end-to-end; 49 -> 56 is 14% waste instead)
+    h_dec_p = _pad_to(h_dec, 1, 8)
     Up = h_dec_p.shape[1]
     w_p = _pad_to(w_out, 1, v_chunk)
     Vp = w_p.shape[1]

@@ -121,13 +121,16 @@ def main():
     for n in runs:
         np.asarray(runs[n]()[0])
     times = {n: [] for n in runs}
+    PIPE = 2  # amortize the tunnel round trip; decodes are 100s of ms
     for _ in range(args.reps):
         for n in runs:
             out = runs[n]()
             np.asarray(out[0])
             t0 = time.perf_counter()
-            np.asarray(runs[n]()[0])
-            times[n].append(time.perf_counter() - t0)
+            for _ in range(PIPE):
+                out = runs[n]()
+            np.asarray(out[0])
+            times[n].append((time.perf_counter() - t0) / PIPE)
     audio_s = B * T * 0.01
     print(f"\n| variant | median ms | RTF (B={B}) |")
     print("|---|---|---|")

@@ -89,8 +89,9 @@ def main():
     H, V = ENC["enc_hidden_size"], ENC["vocab_size"]
     ys = jnp.asarray(rng.integers(3, V - 1, size=(B, U)).astype(np.int32))
     ylens = jnp.full((B,), U, jnp.int32)
-    ys_in = jnp.concatenate([jnp.full((B, 1), 2, jnp.int32), ys[:, :-1]], 1)
-    ys_out = ys
+    # dataset convention (data/asr_dataset.py): ys_in/ys_out are U+1 long
+    ys_in = jnp.full((B, U + 1), 2, jnp.int32).at[:, 1:].set(ys)
+    ys_out = jnp.full((B, U + 1), 2, jnp.int32).at[:, :U].set(ys)
     batch = dict(xs=xs, xlens=xlens, ys=ys, ylens=ylens, ys_in=ys_in,
                  ys_out=ys_out)
 
@@ -237,7 +238,11 @@ def main():
     names = list(variants)
     for n in names:  # warm
         np.asarray(variants[n]())
-    reps = 5 if args.quick else 15
+    reps = 3 if args.quick else 8
+    # pipeline PIPE async dispatches per measurement with ONE sync:
+    # a per-call sync would add the remote-tunnel round trip (~30 ms)
+    # to every variant and swamp the deltas
+    PIPE = 2 if args.tiny else 8
     times = {n: [] for n in names}
     for _ in range(reps):
         for n in names:
@@ -245,9 +250,10 @@ def main():
             out = f()
             np.asarray(out)
             t0 = time.perf_counter()
-            out = f()
+            for _ in range(PIPE):
+                out = f()
             np.asarray(out)
-            times[n].append(time.perf_counter() - t0)
+            times[n].append((time.perf_counter() - t0) / PIPE)
 
     full_med = float(np.median(times["full"]))
     print(f"\n## L1 train-step breakdown (B={B}, T={T}, U={U}, bf16, "

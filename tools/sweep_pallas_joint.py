@@ -21,10 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--t-chunks", default="8,16")
+    ap.add_argument("--v-chunks", default="512")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--skip-train", action="store_true")
     args = ap.parse_args()
     t_chunks = [int(x) for x in args.t_chunks.split(",")]
+    v_chunks = [int(x) for x in args.v_chunks.split(",")]
 
     import jax
     import jax.numpy as jnp
@@ -59,41 +61,51 @@ def main():
 
     timers = {}
     for tc in t_chunks:
+      for vc in v_chunks:
         for dt_name, cast in [("f32", jnp.float32), ("bf16", jnp.bfloat16)]:
             f = jax.jit(
-                lambda he, hd, tc=tc: fused_joint_gather_fwd(
-                    he, hd, w, b, labels, 0, tc, 512
+                lambda he, hd, tc=tc, vc=vc: fused_joint_gather_fwd(
+                    he, hd, w, b, labels, 0, tc, vc
                 )
             )
             he, hd = h_enc.astype(cast), h_dec.astype(cast)
             t0 = time.perf_counter()
             lpb, lpl = f(he, hd)
             lpb, lpl = np.asarray(lpb), np.asarray(lpl)
-            print(f"t_chunk={tc} {dt_name}: compile+run "
+            print(f"t_chunk={tc} v_chunk={vc} {dt_name}: compile+run "
                   f"{time.perf_counter() - t0:.1f}s", flush=True)
-            tol = 5e-3 if dt_name == "f32" else 0.12
+            # on TPU both paths' matmuls run bf16 MXU passes (default
+            # precision), accumulated in different orders -> ~7e-3 skew
+            tol = 2e-2 if dt_name == "f32" else 0.12
             err_b = np.max(np.abs(lpb - lpb_ref))
             err_l = np.max(np.abs(lpl - lpl_ref))
             print(f"  maxdiff lpb={err_b:.4g} lpl={err_l:.4g}", flush=True)
-            assert err_b < tol and err_l < tol, (tc, dt_name, err_b, err_l)
-            timers[f"fused_t{tc}_{dt_name}"] = f
+            assert err_b < tol and err_l < tol, (
+                tc, vc, dt_name, err_b, err_l
+            )
+            timers[f"fused_t{tc}_v{vc}_{dt_name}"] = f
 
-    # time forward alone, round-robin
+    # time forward alone, round-robin.  Per-call sync would measure the
+    # remote-tunnel round trip (~30 ms) instead of the kernel: submit a
+    # pipeline of async dispatches and sync ONCE, dividing by the count.
+    PIPE = 20
     cands = {"chunked_f32": lambda: ref(h_enc, h_dec)}
     for k, f in timers.items():
         cast = jnp.bfloat16 if k.endswith("bf16") else jnp.float32
         he, hd = h_enc.astype(cast), h_dec.astype(cast)
         cands[k] = (lambda f=f, he=he, hd=hd: f(he, hd))
     for k in cands:
-        np.asarray(cands[k]()[0])
+        cands[k]()[0].block_until_ready()
     times = {k: [] for k in cands}
     for _ in range(args.reps):
         for k in cands:
-            out = cands[k]()
-            np.asarray(out[0])
+            cands[k]()[0].block_until_ready()
             t0 = time.perf_counter()
-            np.asarray(cands[k]()[0])
-            times[k].append(time.perf_counter() - t0)
+            out = None
+            for _ in range(PIPE):
+                out = cands[k]()
+            out[0].block_until_ready()
+            times[k].append((time.perf_counter() - t0) / PIPE)
     print("\n| fwd variant | median ms |")
     print("|---|---|")
     for k in cands:
@@ -118,18 +130,21 @@ def main():
     T5 = dict(
         ENC, encoder_type="conformer", decoder_type="rnn_transducer",
         pos_encode_type="rel", enc_hidden_size=256,
-        enc_intermediate_size=2048, dec_hidden_size=512, dec_num_layers=1,
-        joint_hidden_size=512, vocab_size=1000, max_decode_ylen=100,
-        spec_augment=True, dropout_dec_rate=0.1, dropout_emb_rate=0.1,
+        enc_intermediate_size=1024, embedding_size=128, dec_hidden_size=512,
+        dec_num_layers=1, joint_hidden_size=512, vocab_size=1000,
+        max_decode_ylen=100, spec_augment=True, dropout_dec_rate=0.1,
+        dropout_emb_rate=0.1,
     )
     Bt, Tt, Ut = 16, 800, 48
     xs = jnp.asarray(rng.normal(size=(Bt, Tt, 80)).astype(np.float32))
     xlens = jnp.full((Bt,), Tt, jnp.int32)
     ys = jnp.asarray(rng.integers(3, 999, size=(Bt, Ut)).astype(np.int32))
     ylens = jnp.full((Bt,), Ut, jnp.int32)
-    ys_in = jnp.concatenate([jnp.full((Bt, 1), 2, jnp.int32), ys[:, :-1]], 1)
+    # dataset convention (data/asr_dataset.py): ys_in/ys_out are U+1 long
+    ys_in = jnp.full((Bt, Ut + 1), 2, jnp.int32).at[:, 1:].set(ys)
+    ys_out = jnp.full((Bt, Ut + 1), 2, jnp.int32).at[:, :Ut].set(ys)
     batch = dict(xs=xs, xlens=xlens, ys=ys, ylens=ylens, ys_in=ys_in,
-                 ys_out=ys)
+                 ys_out=ys_out)
     key = jax.random.PRNGKey(0)
     tkey = jax.random.key(0, impl="unsafe_rbg")
 
@@ -156,12 +171,15 @@ def main():
     for k in runs:
         np.asarray(runs[k]())
     tt = {k: [] for k in runs}
-    for _ in range(args.reps * 2):
+    for _ in range(args.reps):
         for k in runs:
             np.asarray(runs[k]())
             t0 = time.perf_counter()
-            np.asarray(runs[k]())
-            tt[k].append(time.perf_counter() - t0)
+            m = None
+            for _ in range(8):  # chained via holder state, ONE sync
+                m = runs[k]()
+            np.asarray(m)
+            tt[k].append((time.perf_counter() - t0) / 8)
     print("\n| train step | median ms |")
     print("|---|---|")
     for k in runs:
