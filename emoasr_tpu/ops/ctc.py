@@ -25,6 +25,12 @@ from emoasr_tpu.ops.common import LOG_0, logaddexp3
 # floating-point op order per step).
 SCAN_UNROLL = 1
 
+# Route ctc_loss through the Pallas alpha/beta kernels (ops/ctc_pallas):
+# one program per sweep with the lattice in VMEM, ~10x faster than the
+# lax.scan lattice at L1 train shapes.  The scan path remains for
+# comparison and as the forced-alignment engine.
+USE_PALLAS = True
+
 
 def _extend_with_blanks(labels: jnp.ndarray, blank_id: int) -> jnp.ndarray:
     """(B, U) labels -> (B, 2U+1) blank-interleaved path ^a^b^ ... ^."""
@@ -75,6 +81,19 @@ def ctc_loss(
         log_probs, z[:, None, :].astype(jnp.int32), axis=2
     ).transpose(1, 0, 2)
 
+    if USE_PALLAS:
+        from emoasr_tpu.ops.ctc_pallas import ctc_ll_from_path
+
+        _, _, initf, finalf = _path_masks(labels, ylens, blank_id)
+        ll = ctc_ll_from_path(
+            lp_path, allow2.astype(jnp.float32), initf, finalf,
+            xlens.astype(jnp.int32),
+        )
+        nll = -ll
+        if zero_infinity:
+            nll = jnp.where(ll < LOG_0 / 2, 0.0, nll)
+        return nll
+
     alpha0 = jnp.full((B, S), LOG_0, jnp.float32)
     alpha0 = alpha0.at[:, 0].set(lp_path[0, :, 0])
     if U > 0:
@@ -109,6 +128,23 @@ def ctc_loss(
     return nll
 
 
+def _path_masks(labels, ylens, blank_id):
+    """(z, allow2f, initf, finalf) for the blank-interleaved path lattice."""
+    z = _extend_with_blanks(labels, blank_id)
+    z2 = jnp.pad(z, ((0, 0), (2, 0)), constant_values=-1)[:, :-2]
+    allow2f = ((z != blank_id) & (z != z2)).astype(jnp.float32)
+    S = z.shape[1]
+    s_iota = jnp.arange(S)[None, :]
+    initf = (
+        (s_iota == 0) | ((s_iota == 1) & (ylens > 0)[:, None])
+    ).astype(jnp.float32)
+    finalf = (
+        (s_iota == (2 * ylens)[:, None])
+        | ((s_iota == (2 * ylens - 1)[:, None]) & (ylens > 0)[:, None])
+    ).astype(jnp.float32)
+    return z, allow2f, initf, finalf
+
+
 def ctc_loss_fn(
     logits: jnp.ndarray,
     labels: jnp.ndarray,
@@ -117,9 +153,39 @@ def ctc_loss_fn(
     blank_id: int = 0,
 ) -> jnp.ndarray:
     """Reference-reduction CTC loss from raw logits: sum over batch / B
-    (`asr/modeling/decoders/ctc.py:109-114`)."""
-    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    return jnp.sum(ctc_loss(log_probs, labels, xlens, ylens, blank_id)) / logits.shape[0]
+    (`asr/modeling/decoders/ctc.py:109-114`).
+
+    Train hot path: instead of materializing the (B, T, V) log-softmax
+    and gathering per-state columns (a strided HBM pattern whose
+    scatter-backward dominated the whole loss — measured ~4 ms of a 9 ms
+    loss at L1 shapes), normalization is a single dense logsumexp and the
+    per-state emissions come from an EXACT one-hot matmul at
+    precision=HIGHEST (each output accumulates exactly one non-zero
+    product, so there is no rounding); the lattice itself runs in the
+    Pallas alpha/beta kernels (ops/ctc_pallas)."""
+    if not USE_PALLAS:
+        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return (
+            jnp.sum(ctc_loss(log_probs, labels, xlens, ylens, blank_id))
+            / logits.shape[0]
+        )
+
+    from emoasr_tpu.ops.ctc_pallas import ctc_ll_from_path
+
+    logits = logits.astype(jnp.float32)
+    B, T, V = logits.shape
+    z, allow2f, initf, finalf = _path_masks(labels, ylens, blank_id)
+    lse = jax.nn.logsumexp(logits, axis=-1)  # (B, T)
+    hot = jax.nn.one_hot(z, V, dtype=logits.dtype)  # (B, S, V)
+    xs = jnp.einsum(
+        "btv,bsv->bts", logits, hot, precision=jax.lax.Precision.HIGHEST
+    )
+    lp_path = (xs - lse[:, :, None]).transpose(1, 0, 2)  # (T, B, S)
+    ll = ctc_ll_from_path(
+        lp_path, allow2f, initf, finalf, xlens.astype(jnp.int32)
+    )
+    nll = jnp.where(ll < LOG_0 / 2, 0.0, -ll)  # zero_infinity
+    return jnp.sum(nll) / B
 
 
 # ---------------------------------------------------------------------------
