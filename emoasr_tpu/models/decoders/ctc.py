@@ -19,9 +19,15 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+import emoasr_tpu.ops.ctc as ops_ctc
 from emoasr_tpu.config import ExpConfig
 from emoasr_tpu.models.criteria import ctc_align_distill_loss
-from emoasr_tpu.ops.ctc import ctc_forced_align, ctc_loss_fn
+from emoasr_tpu.models.layers import ExplicitDense
+from emoasr_tpu.ops.ctc import (
+    ctc_forced_align,
+    ctc_loss_fn,
+    ctc_loss_fused_head,
+)
 
 
 def greedy_collapse(
@@ -53,9 +59,17 @@ class CTCDecoder(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.output = nn.Dense(cfg.vocab_size, name="output")
+        # ExplicitDense == nn.Dense in param layout/init ({kernel, bias},
+        # lecun_normal/zeros) but exposes the raw weights for the fused
+        # Pallas head (ops/ctc_head_pallas)
+        self.output = ExplicitDense(
+            cfg.enc_hidden_size, cfg.vocab_size, name="output"
+        )
         if cfg.mtl_phone_ctc_weight > 0:
-            self.phone_output = nn.Dense(cfg.phone_vocab_size, name="phone_output")
+            self.phone_output = ExplicitDense(
+                cfg.enc_hidden_size, cfg.phone_vocab_size,
+                name="phone_output",
+            )
 
     def logits(self, eouts):
         return self.output(eouts)
@@ -78,12 +92,23 @@ class CTCDecoder(nn.Module):
         deterministic: bool = True,
     ):
         cfg = self.cfg
-        logits = self.output(eouts)
         if ys is None:
-            return logits
+            return self.output(eouts)
 
         loss_dict = {}
-        loss_ctc = ctc_loss_fn(logits, ys, elens, ylens, cfg.blank_id)
+        # align-KD needs the dense log-probs anyway; otherwise the head
+        # runs fused (matmul + streaming lse + path gather in Pallas,
+        # no (B, T, V) materialization)
+        need_dense = cfg.kd_weight > 0 and soft_labels is not None
+        logits = None  # materialized only on the dense/KD path
+        if ops_ctc.USE_PALLAS and not need_dense:
+            loss_ctc = ctc_loss_fused_head(
+                eouts, self.output.kernel, self.output.bias,
+                ys, elens, ylens, cfg.blank_id,
+            )
+        else:
+            logits = self.output(eouts)
+            loss_ctc = ctc_loss_fn(logits, ys, elens, ylens, cfg.blank_id)
         loss = loss_ctc
         loss_dict["loss_ctc"] = loss_ctc
 
@@ -107,15 +132,34 @@ class CTCDecoder(nn.Module):
 
         if cfg.mtl_phone_ctc_weight > 0:
             src = eouts_inter if cfg.hie_mtl_phone else eouts
-            logits_phone = self.phone_output(src)
-            loss_phone = ctc_loss_fn(logits_phone, ps, elens, plens, cfg.blank_id)
+            if ops_ctc.USE_PALLAS:
+                loss_phone = ctc_loss_fused_head(
+                    src, self.phone_output.kernel, self.phone_output.bias,
+                    ps, elens, plens, cfg.blank_id,
+                )
+            else:
+                logits_phone = self.phone_output(src)
+                loss_phone = ctc_loss_fn(
+                    logits_phone, ps, elens, plens, cfg.blank_id
+                )
             loss = loss + cfg.mtl_phone_ctc_weight * loss_phone
             key = "loss_phone_ctc(inter)" if cfg.hie_mtl_phone else "loss_phone_ctc"
             loss_dict[key] = loss_phone
 
         if cfg.mtl_inter_ctc_weight > 0:
-            logits_inter = self.output(eouts_inter)
-            loss_inter = ctc_loss_fn(logits_inter, ys, elens, ylens, cfg.blank_id)
+            need_dense_inter = (
+                cfg.inter_kd_weight > 0 and soft_labels is not None
+            )
+            if ops_ctc.USE_PALLAS and not need_dense_inter:
+                loss_inter = ctc_loss_fused_head(
+                    eouts_inter, self.output.kernel, self.output.bias,
+                    ys, elens, ylens, cfg.blank_id,
+                )
+            else:
+                logits_inter = self.output(eouts_inter)
+                loss_inter = ctc_loss_fn(
+                    logits_inter, ys, elens, ylens, cfg.blank_id
+                )
             loss_dict["loss_inter_ctc"] = loss_inter
             if cfg.inter_kd_weight > 0 and soft_labels is not None:
                 lp_i = jax.nn.log_softmax(logits_inter.astype(jnp.float32), -1)

@@ -188,6 +188,38 @@ def ctc_loss_fn(
     return jnp.sum(nll) / B
 
 
+def ctc_loss_fused_head(
+    eouts: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    labels: jnp.ndarray,
+    xlens: jnp.ndarray,
+    ylens: jnp.ndarray,
+    blank_id: int = 0,
+) -> jnp.ndarray:
+    """ctc_loss_fn without EVER materializing the (B, T, V) logits.
+
+    Takes the encoder output and the raw head weights; the head matmul,
+    streaming logsumexp, and path-column extraction run fused in Pallas
+    (ops/ctc_head_pallas) and only (B, T) + (B, T, S) tensors reach HBM.
+    Numerically identical to `ctc_loss_fn(eouts @ w + b, ...)` up to
+    matmul accumulation order.
+    """
+    from emoasr_tpu.ops.ctc_head_pallas import fused_ctc_head
+    from emoasr_tpu.ops.ctc_pallas import ctc_ll_from_path
+
+    B = eouts.shape[0]
+    z, allow2f, initf, finalf = _path_masks(labels, ylens, blank_id)
+    lse, xs = fused_ctc_head(eouts, w, b, z)
+    S = z.shape[1]
+    lp_path = (xs[:, :, :S] - lse[:, :, None]).transpose(1, 0, 2)
+    ll = ctc_ll_from_path(
+        lp_path, allow2f, initf, finalf, xlens.astype(jnp.int32)
+    )
+    nll = jnp.where(ll < LOG_0 / 2, 0.0, -ll)  # zero_infinity
+    return jnp.sum(nll) / B
+
+
 # ---------------------------------------------------------------------------
 # Forced alignment (forward-backward + constrained greedy walk)
 # ---------------------------------------------------------------------------
