@@ -254,16 +254,35 @@ def main():
         step = make_train_step(model, cfg, tx)
 
         # AOT: ONE compile per variant, reused for cost analysis + timing
+        def _flops_of(c):
+            ca = c.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0)) or None
+
         flops = None
         try:
             compiled = step.lower(state, batch, tkey).compile()
-            ca = compiled.cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0]
-            flops = float(ca.get("flops", 0.0)) or None
+            flops = _flops_of(compiled)
             step = compiled
         except Exception:
             pass
+        if cfg.decoder_type == "ctc":
+            # the fused Pallas CTC head hides its matmul from XLA cost
+            # analysis (custom call); account flops from the equivalent
+            # dense-path compile so MFU stays comparable across rounds
+            import emoasr_tpu.ops.ctc as ops_ctc
+
+            try:
+                ops_ctc.USE_PALLAS = False
+                dense_step = make_train_step(model, cfg, tx)
+                flops = _flops_of(
+                    dense_step.lower(state, batch, tkey).compile()
+                ) or flops
+            except Exception:
+                pass
+            finally:
+                ops_ctc.USE_PALLAS = True
 
         state, m = step(state, batch, tkey)
         np.asarray(m["loss_total"])
@@ -314,10 +333,13 @@ def main():
         T5, spec_augment=True, compute_dtype="bfloat16",
         dropout_dec_rate=0.1, dropout_emb_rate=0.1,
     )
-    dt_pallas, flops_t5 = train_step_time(
+    dt_pallas, _ = train_step_time(
         dict(T5_TRAIN, rnnt_joint_mode="pallas"), "t5", 16, 800, 48, n=5
     )
-    dt_chunk, _ = train_step_time(
+    # MFU flops come from the CHUNKED compile: XLA cost analysis cannot
+    # see inside the Pallas custom call, so the pallas-mode count would
+    # omit the joint matmul
+    dt_chunk, flops_t5 = train_step_time(
         dict(T5_TRAIN, rnnt_joint_mode="chunked"), "t5", 16, 800, 48, n=5
     )
     emit(

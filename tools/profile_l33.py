@@ -62,9 +62,9 @@ def main():
     L3 = dict(
         ENC, encoder_type="conformer", decoder_type="transformer",
         pos_encode_type="rel", enc_hidden_size=256,
-        enc_intermediate_size=2048, dec_num_layers=6,
-        dec_intermediate_size=2048, dec_num_attention_heads=4,
-        vocab_size=10000, dec_hidden_size=256,
+        enc_intermediate_size=1024, dec_hidden_size=256,
+        dec_num_attention_heads=4, dec_num_layers=6,
+        dec_intermediate_size=2048, vocab_size=10000, mtl_ctc_weight=0.3,
         max_decode_ylen=64, dropout_dec_rate=0.0,
     )
     cfg = config_from_dict(L3)
@@ -73,7 +73,10 @@ def main():
     rng = np.random.default_rng(0)
     xs = jax.jit(lambda k: jax.random.normal(k, (B, T, 80)))(key)
     xlens = jnp.full((B,), T, jnp.int32)
-    variables = model.init(key, xs, xlens, method=ASR.decode_greedy)
+    variables = model.init(
+        key, xs, xlens, jnp.ones((B, 4), jnp.int32), jnp.full((B,), 4),
+        jnp.ones((B, 5), jnp.int32), jnp.ones((B, 5), jnp.int32),
+    )
 
     lm_cfg = config_from_dict(
         dict(
@@ -96,7 +99,7 @@ def main():
         decode = build_decode_fn(
             model, variables, cfg, beam_width=10, lm=lmf, **beam_kw
         )
-        return decode.lower(xs, xlens).compile()
+        return decode.bind_compiled(decode.lower(xs, xlens).compile())
 
     specs = {
         "att": ({"len_weight": 2.0}, None),

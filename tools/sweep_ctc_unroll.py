@@ -104,13 +104,16 @@ def main():
     for n in names:
         np.asarray(runs[n]())
     times = {n: [] for n in names}
+    PIPE = 8  # async pipeline + single sync (tunnel RTT ~30 ms/call)
     for _ in range(args.reps):
         for n in names:
             out = runs[n]()
             np.asarray(out)
             t0 = time.perf_counter()
-            np.asarray(runs[n]())
-            times[n].append(time.perf_counter() - t0)
+            for _ in range(PIPE):
+                out = runs[n]()
+            np.asarray(out)
+            times[n].append((time.perf_counter() - t0) / PIPE)
     print("| variant | median ms |")
     print("|---|---|")
     for n in names:
