@@ -33,6 +33,16 @@ RTF (decode_s_per_audio_s) and `utts_per_s_per_chip` (= 1/(RTF x 10 s)
 at these 10 s utterances), plus the (batch, beam) that produced them and
 the full sweep.
 
+Timing protocol (r3 fix): every window of n pipelined dispatches ends in
+ONE np.asarray fetch, and that fetch pays the remote-tunnel round trip
+(~30 ms) regardless of n — block_until_ready is a no-op on this
+transport, so the fetch is the only true sync.  r1/r2 rows therefore
+overstated per-call time by RTT/n (+3 ms on the 10-step train window,
++10 ms on 3-iteration decode windows).  r3 measures the one-fetch floor
+with a trivial program and subtracts it from each window; the floor is
+emitted in the headline row (`rtt_floor_ms`) and the correction is
+noted where it moves a row vs r2.
+
 vs_baseline for decode rows = reference_RTF / our_RTF (>1 = faster).
 The reference's published RTFs are CTC greedy 0.0033 and correction
 0.0094 on the author's CPU (`asr/correct/README.md:55-58`); all other
@@ -94,14 +104,23 @@ def emit(row):
     print(json.dumps(row), flush=True)
 
 
+RTT_FLOOR = [0.0]  # measured in main(): the one-fetch transport cost
+
+
 def timeit(fn, sync, n=5):
+    """Median-free steady-state per-call time: n pipelined dispatches,
+    ONE final fetch.  The fetch pays the remote-transport round trip
+    (~30 ms on this tunnel — block_until_ready is a no-op on axon
+    arrays, so np.asarray is the only true sync); subtracting the
+    measured floor removes the RTT/n overstatement that inflated every
+    r1/r2 row (~+3 ms/step on a 10-iteration train window)."""
     out = fn()
     sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn()
     sync(out)
-    return (time.perf_counter() - t0) / n
+    return (time.perf_counter() - t0 - RTT_FLOOR[0]) / n
 
 
 def main():
@@ -123,6 +142,17 @@ def main():
     key = jax.random.PRNGKey(0)
     rng = np.random.default_rng(0)
     peak_tflops, dev_kind = device_peak_tflops(jax.devices()[0])
+
+    # measure the one-fetch transport floor (trivial program + fetch)
+    _xtriv = jnp.zeros((8,), jnp.int32)
+    _ftriv = jax.jit(lambda x: x[0] * 1).lower(_xtriv).compile()
+    np.asarray(_ftriv(_xtriv))
+    _floors = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        np.asarray(_ftriv(_xtriv))
+        _floors.append(time.perf_counter() - t0)
+    RTT_FLOOR[0] = float(np.median(_floors))
 
     ENC = dict(
         input_layer="conv2d", feat_dim=80, enc_num_attention_heads=4,
@@ -290,7 +320,7 @@ def main():
         for _ in range(n):
             state, m = step(state, batch, tkey)
         np.asarray(m["loss_total"])
-        dt = (time.perf_counter() - t0) / n
+        dt = (time.perf_counter() - t0 - RTT_FLOOR[0]) / n
         return dt, flops
 
     dt16, flops16 = train_step_time(
@@ -315,7 +345,9 @@ def main():
             "assumed_peak_tflops_bf16": peak_tflops,
             "device_kind": dev_kind,
             "rng_impl": "unsafe_rbg",
-            "note": "vs_baseline = f32 step / bf16 step on-chip",
+            "note": "vs_baseline = f32 step / bf16 step on-chip; r3 "
+                    "subtracts the one-fetch transport floor (r2's 22.6 ms "
+                    "included ~3 ms of tunnel RTT: RTT/n with n=10)",
         }
     )
 
@@ -440,7 +472,9 @@ def main():
     score_lm(nbest_df.copy(), bert, bvars, max_len=256)  # warm/compile
     t0 = time.perf_counter()
     score_lm(nbest_df.copy(), bert, bvars, max_len=256)
-    dt = time.perf_counter() - t0
+    # one transport fetch floor removed: the pipeline syncs once at the
+    # end; on a local host that latency does not exist
+    dt = time.perf_counter() - t0 - RTT_FLOOR[0]
     rtf = dt / (n_utts * 10.0)
     ref = REF_RTF.get("rescore_bert")
     emit(
@@ -482,7 +516,7 @@ def main():
     corr.correct_batch(cbatch)  # warm/compile
     t0 = time.perf_counter()
     corr.correct_batch(cbatch)
-    dt = time.perf_counter() - t0
+    dt = time.perf_counter() - t0 - RTT_FLOOR[0]
     rtf = dt / (B * 10.0)
     ref = REF_RTF.get("correct_bert")
     emit(
@@ -527,7 +561,7 @@ def main():
         hyps, hyp_lens, _, _ = decode(variables, inputs[it], xlens)
         outs.append(hyps)
     np.asarray(outs[-1])
-    dt = time.perf_counter() - t0
+    dt = time.perf_counter() - t0 - RTT_FLOOR[0]
     rtf = dt / (n_iters * B * T * FRAME_SHIFT_S)
     emit(
         {
@@ -538,10 +572,15 @@ def main():
             "batch": B,
             "vs_baseline": round(REF_PUBLISHED_CTC_GREEDY / rtf, 2),
             "baseline_src": "published_0.0033",
-            "note": "protocol unchanged since r1; r1->r2 delta (2.5e-5 -> "
-                    "2.7e-5) came from r2's switch to distinct on-device "
-                    "rolled inputs per iteration (defeats transport-level "
-                    "result caching that flattered r1)",
+            "rtt_floor_ms": round(RTT_FLOOR[0] * 1e3, 1),
+            "note": "protocol unchanged since r1 except the r3 "
+                    "fetch-floor subtraction (see module docstring): the "
+                    "final np.asarray pays the ~30 ms tunnel RTT once per "
+                    "10-iteration window, which r1/r2 mis-charged to "
+                    "decode (~+5% here). r1->r2 delta (2.5e-5 -> 2.7e-5) "
+                    "came from r2's switch to distinct on-device rolled "
+                    "inputs per iteration (defeats transport-level result "
+                    "caching that flattered r1)",
         }
     )
 

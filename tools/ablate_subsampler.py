@@ -1,16 +1,32 @@
-"""Subsampler cost split + conv1-as-matmul experiment (on chip).
+"""Subsampler cost split + conv-as-matmul experiments (on chip).
 
-tools/profile_train.py showed the Conv2dSubsampler at ~8.3 ms standalone
-fwd+bwd (~35% of the L1 step) for ~450 GFLOP of nominal work.  Suspect:
-conv1 has C_in=1, and the TPU convolution pads the channel dim toward
-the MXU's native width, multiplying effective FLOPs.  This ablation
-times, AOT in one process:
+History: profile_train.py originally showed Conv2dSubsampler at ~8.3 ms
+standalone fwd+bwd.  That number had two artifacts this tool now
+avoids:
 
-- conv1 / conv2 / output Dense separately (fwd+bwd)
+1. **f32 promotion** — the standalone piece kept params in f32, so flax
+   promoted the whole piece to f32 (the real train step casts params to
+   the compute dtype).  bf16-cast truth is ~3.8 ms.
+2. **Broken sync** — `block_until_ready` is a NO-OP on the axon
+   transport; only an `np.asarray` fetch truly syncs, and each fetch
+   pays the ~30 ms tunnel RTT.  This tool fetches once per timing
+   window and subtracts a measured trivial-fetch floor.
+
+Conclusion from the measured split (kept for the record): conv2
+dominates (~430 GFLOP fwd+bwd, ~2.2 ms speed-of-light), the bf16
+subsampler runs at ~60% MXU efficiency, and neither the conv1 patch
+matmul nor the conv2 shifted-matmul reformulation beats XLA's native
+convolutions — the subsampler is NOT the train-step bottleneck it
+first appeared to be.
+
+Timed pieces, AOT in one process, round-robin, distinct rolled inputs
+per call (defeats any transport-level result reuse):
+
+- conv1 / conv2 / output Dense separately (fwd+bwd, bf16 params)
 - conv1 as an explicit 3x3-patch matmul ((B*T2*F2, 9) @ (9, C)) with
   bit-equal math
 - conv2 as 9 shifted (N, C) @ (C, C) matmuls (no im2col buffer)
-- the full current Conv2dSubsampler for a sanity anchor
+- the full Conv2dSubsampler for a sanity anchor
 
 Usage: python tools/ablate_subsampler.py
 """
@@ -44,19 +60,26 @@ def main():
         rng.normal(size=(B, T, F, 1)).astype(np.float32)
     ).astype(jnp.bfloat16)
 
+    def bf16(tree):
+        return jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            tree,
+        )
+
     conv1 = nn.Conv(C, (3, 3), strides=(2, 2), padding="VALID")
-    v1 = conv1.init(jax.random.PRNGKey(0), xs)
-    h1 = conv1.apply(v1, xs)
-    h1 = jax.nn.relu(h1)
+    v1 = bf16(conv1.init(jax.random.PRNGKey(0), xs))
+    h1 = jax.nn.relu(conv1.apply(v1, xs))
 
     conv2 = nn.Conv(C, (3, 3), strides=(2, 2), padding="VALID")
-    v2 = conv2.init(jax.random.PRNGKey(1), h1)
+    v2 = bf16(conv2.init(jax.random.PRNGKey(1), h1))
     h2 = jax.nn.relu(conv2.apply(v2, h1))
     B_, T4, F4, _ = h2.shape
     dense = nn.Dense(C)
-    v3 = dense.init(
-        jax.random.PRNGKey(2),
-        h2.transpose(0, 1, 3, 2).reshape(B_, T4, C * F4),
+    v3 = bf16(
+        dense.init(
+            jax.random.PRNGKey(2),
+            h2.transpose(0, 1, 3, 2).reshape(B_, T4, C * F4),
+        )
     )
 
     def conv1_matmul(p, x):
@@ -115,16 +138,29 @@ def main():
     sub = Conv2dSubsampler(C)
     xs3 = xs[..., 0]  # (B, T, F)
     xlens = jnp.full((B,), T, jnp.int32)
-    vs = sub.init(jax.random.PRNGKey(3), xs3, xlens)
+    vs = bf16(sub.init(jax.random.PRNGKey(3), xs3, xlens))
+
+    # distinct per-call inputs: roll along time (device-side, cheap)
+    PIPE = 8
+    roll = jax.jit(lambda x, i: jnp.roll(x, i, axis=1))
+
+    def inputs_for(x):
+        out = [roll(x, 1 + 3 * i) for i in range(PIPE)]
+        np.asarray(out[-1][0, 0, :1])
+        return out
+
+    xs_r, xs3_r, h1_r, h2_r = (
+        inputs_for(xs), inputs_for(xs3), inputs_for(h1), inputs_for(h2)
+    )
 
     runs = {
         "full_subsampler": (
-            g(lambda p, x: sub.apply(p, x, xlens)[0], vs, xs3), (vs, xs3),
+            g(lambda p, x: sub.apply(p, x, xlens)[0], vs, xs3), vs, xs3_r,
         ),
-        "conv1_conv": (g(lambda p, x: conv1.apply(p, x), v1, xs), (v1, xs)),
-        "conv1_matmul": (g(conv1_matmul, v1, xs), (v1, xs)),
-        "conv2_conv": (g(lambda p, x: conv2.apply(p, x), v2, h1), (v2, h1)),
-        "conv2_shifted": (g(conv2_shifted, v2, h1), (v2, h1)),
+        "conv1_conv": (g(lambda p, x: conv1.apply(p, x), v1, xs), v1, xs_r),
+        "conv1_matmul": (g(conv1_matmul, v1, xs), v1, xs_r),
+        "conv2_conv": (g(lambda p, x: conv2.apply(p, x), v2, h1), v2, h1_r),
+        "conv2_shifted": (g(conv2_shifted, v2, h1), v2, h1_r),
         "out_dense": (
             g(
                 lambda p, x: dense.apply(
@@ -132,23 +168,33 @@ def main():
                 ),
                 v3, h2,
             ),
-            (v3, h2),
+            v3, h2_r,
         ),
     }
-    for k_ in runs:
-        c, a = runs[k_]
-        c(*a)[0].block_until_ready()
+
+    # one-fetch transport floor (np.asarray pays the tunnel RTT)
+    ftriv = jax.jit(lambda x: x[0] * 1).lower(xlens).compile()
+    np.asarray(ftriv(xlens))
+    floors = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(ftriv(xlens))
+        floors.append(time.perf_counter() - t0)
+    rtt = float(np.median(floors))
+    print(f"fetch floor: {rtt * 1e3:.1f} ms", flush=True)
+
+    for k_, (c, p, xr) in runs.items():
+        np.asarray(c(p, xr[0])[0])  # warm
     times = {k_: [] for k_ in runs}
     for _ in range(5):
-        for k_ in runs:
-            c, a = runs[k_]
-            c(*a)[0].block_until_ready()
+        for k_, (c, p, xr) in runs.items():
+            np.asarray(c(p, xr[0])[0])
             t0 = time.perf_counter()
             out = None
-            for _ in range(8):
-                out = c(*a)
-            out[0].block_until_ready()
-            times[k_].append((time.perf_counter() - t0) / 8)
+            for i in range(PIPE):
+                out = c(p, xr[i])
+            np.asarray(out[0])
+            times[k_].append((time.perf_counter() - t0 - rtt) / PIPE)
     print("| piece | fwd+bwd ms |")
     print("|---|---|")
     for k_ in runs:

@@ -123,6 +123,16 @@ def main():
 
     for n in runs:
         np.asarray(runs[n]()[0])
+    # one-fetch transport floor (every np.asarray pays the tunnel RTT)
+    ftriv = jax.jit(lambda l: l[0] * 1).lower(xlens).compile()
+    np.asarray(ftriv(xlens))
+    floors = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(ftriv(xlens))
+        floors.append(time.perf_counter() - t0)
+    rtt = float(np.median(floors))
+    print(f"fetch floor: {rtt * 1e3:.1f} ms", flush=True)
     times = {n: [] for n in runs}
     PIPE = 2  # amortize the tunnel round trip; decodes are 100s of ms
     for _ in range(args.reps):
@@ -133,7 +143,7 @@ def main():
             for _ in range(PIPE):
                 out = runs[n]()
             np.asarray(out[0])
-            times[n].append((time.perf_counter() - t0) / PIPE)
+            times[n].append((time.perf_counter() - t0 - rtt) / PIPE)
     audio_s = B * T * 0.01
     print(f"\n| variant | median ms | RTF (B={B}) |")
     print("|---|---|---|")

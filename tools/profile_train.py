@@ -188,18 +188,21 @@ def main():
     ).compile()
     variants["enc_fwd_bwd"] = lambda: cenc(init["params"], tkey)[0]
 
-    # subsampler only
+    # subsampler only.  Params MUST be cast to the compute dtype: with
+    # f32 params flax promotes the whole piece back to f32, which reads
+    # ~2x slower than the bf16 path the real train step runs.
     sub = Conv2dSubsampler(output_dim=H)
-    sub_vars = sub.init(key, xs, xlens)
+    sub_vars = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        sub.init(key, xs, xlens),
+    )
 
-    def loss_sub(p):
-        h, _ = sub.apply(
-            p, xs.astype(jnp.bfloat16), xlens
-        )
+    def loss_sub(p, x):
+        h, _ = sub.apply(p, x.astype(jnp.bfloat16), xlens)
         return jnp.mean(h.astype(jnp.float32))
 
-    csub = jax.jit(jax.value_and_grad(loss_sub)).lower(sub_vars).compile()
-    variants["subsampler_fwd_bwd"] = lambda: csub(sub_vars)[0]
+    csub = jax.jit(jax.value_and_grad(loss_sub)).lower(sub_vars, xs).compile()
+    variants["subsampler_fwd_bwd"] = lambda: csub(sub_vars, xs)[0]
 
     # CTC head+loss on a frozen encoder output: Dense(V) + ctc_loss
     T4 = ((T - 1) // 2 - 1) // 2
@@ -209,17 +212,38 @@ def main():
     import flax.linen as nn
 
     head = nn.Dense(V)
-    head_vars = head.init(key, eouts_fixed)
+    head_vars = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        head.init(key, eouts_fixed),
+    )
     elens_fixed = jnp.full((B,), T4, jnp.int32)
 
-    def loss_head_ctc(p):
-        logits = head.apply(p, eouts_fixed.astype(jnp.bfloat16))
+    def loss_head_ctc(p, e):
+        logits = head.apply(p, e.astype(jnp.bfloat16))
         return ctc_loss_fn(
             logits.astype(jnp.float32), ys, elens_fixed, ylens, blank_id=0
         )
 
-    chead = jax.jit(jax.value_and_grad(loss_head_ctc)).lower(head_vars).compile()
-    variants["ctc_head_loss_fwd_bwd"] = lambda: chead(head_vars)[0]
+    chead = jax.jit(jax.value_and_grad(loss_head_ctc)).lower(
+        head_vars, eouts_fixed
+    ).compile()
+    variants["ctc_head_loss_fwd_bwd"] = lambda: chead(head_vars, eouts_fixed)[0]
+
+    # the same head+loss through the fused Pallas path the real step runs
+    from emoasr_tpu.ops.ctc import ctc_loss_fused_head
+
+    def loss_head_fused(p, e):
+        return ctc_loss_fused_head(
+            e.astype(jnp.bfloat16), p["params"]["kernel"],
+            p["params"]["bias"], ys, elens_fixed, ylens, blank_id=0,
+        )
+
+    cfused = jax.jit(jax.value_and_grad(loss_head_fused)).lower(
+        head_vars, eouts_fixed
+    ).compile()
+    variants["ctc_head_loss_fused_fwd_bwd"] = (
+        lambda: cfused(head_vars, eouts_fixed)[0]
+    )
 
     # CTC loss alone on random logits (isolates the T-step scans)
     logits_fixed = jnp.asarray(
@@ -239,10 +263,21 @@ def main():
     for n in names:  # warm
         np.asarray(variants[n]())
     reps = 3 if args.quick else 8
-    # pipeline PIPE async dispatches per measurement with ONE sync:
-    # a per-call sync would add the remote-tunnel round trip (~30 ms)
-    # to every variant and swamp the deltas
+    # pipeline PIPE async dispatches per measurement with ONE sync
+    # (np.asarray — the only true sync on this transport;
+    # block_until_ready is a no-op on axon arrays), then subtract the
+    # measured fetch floor: every np.asarray pays the tunnel RTT, so a
+    # window of PIPE calls + one fetch overstates per-call time by
+    # RTT/PIPE
     PIPE = 2 if args.tiny else 8
+    ftriv = jax.jit(lambda x: x[0] * 1.0).lower(xlens).compile()
+    np.asarray(ftriv(xlens))
+    floors = []
+    for _ in range(max(reps, 5)):
+        t0 = time.perf_counter()
+        np.asarray(ftriv(xlens))
+        floors.append(time.perf_counter() - t0)
+    rtt = float(np.median(floors))
     times = {n: [] for n in names}
     for _ in range(reps):
         for n in names:
@@ -253,12 +288,12 @@ def main():
             for _ in range(PIPE):
                 out = f()
             np.asarray(out)
-            times[n].append((time.perf_counter() - t0) / PIPE)
+            times[n].append((time.perf_counter() - t0 - rtt) / PIPE)
 
     full_med = float(np.median(times["full"]))
     print(f"\n## L1 train-step breakdown (B={B}, T={T}, U={U}, bf16, "
           f"{jax.devices()[0].device_kind}; median of {reps}, one process, "
-          "round-robin)\n")
+          f"round-robin; fetch floor {rtt * 1e3:.1f} ms subtracted)\n")
     print("| variant | ms | Δ vs full | share of full |")
     print("|---|---|---|---|")
     rows = []
