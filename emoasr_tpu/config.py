@@ -198,6 +198,13 @@ class ExpConfig:
     # always uses threefry so parameter draws stay reproducible across
     # impls.
     rng_impl: str = "threefry2x32"  # threefry2x32 | rbg | unsafe_rbg
+    # Pallas fused self-attention for Transformer encoder blocks
+    # (ops/attention_pallas.py): softmax(QK^T)V with key-pad masking and
+    # in-kernel dropout in one kernel, scores never in HBM.  Conformer
+    # (rel-pos) layers ignore it.  Off-TPU the kernel interprets
+    # (exact); with dropout active it falls back to an equivalent
+    # pure-JAX path (same distribution, different realized bits).
+    enc_fused_attn: bool = False
     mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel axis; -1 = all devices
     mesh_axes: Tuple[str, ...] = ("data",)
 

@@ -194,36 +194,32 @@ def build_decode_fn(
             B, T = eouts.shape[0], eouts.shape[1]
             W = beam_width
 
-            # encoder-side cross-attention K/V projected ONCE (per batch,
-            # then tiled across beams) instead of every decode step
+            # encoder-side cross-attention K/V projected ONCE per batch;
+            # kept per-utterance — the beam step attends all W beams as W
+            # query positions so the K/V are read once per utterance per
+            # step, not once per beam (W x less HBM traffic)
             cross_kvs = model.apply(
                 variables, eouts,
                 method=lambda m, e: m.decoder.precompute_cross_kv(e),
             )
-            cross_kvs_rep = [
-                tuple(
-                    jnp.broadcast_to(
-                        x[:, None], (B, W) + x.shape[1:]
-                    ).reshape((B * W,) + x.shape[1:])
-                    for x in kv
-                )
-                for kv in cross_kvs
-            ]
+            emask = make_pad_mask(elens, T)[:, None, None, :]
 
-            emask_rep = make_pad_mask(
-                jnp.broadcast_to(elens[:, None], (B, W)).reshape(B * W), T
-            )[:, None, None, :]
+            cache_dtype = dtype_of(cfg) if is_half(cfg) else jnp.float32
 
             def init_cache_fn(N, Lmax):
                 return model.apply(
                     variables, N, Lmax,
-                    method=lambda m, n, L: m.decoder.init_cache(n, L),
+                    method=lambda m, n, L: m.decoder.init_cache(
+                        n, L, dtype=cache_dtype
+                    ),
                 )
 
             def step_cached_fn(tokens, pos, caches):
                 return model.apply(
-                    variables, tokens, pos, caches, cross_kvs_rep, emask_rep,
-                    method=lambda m, *a: m.decoder.decode_step_cached(*a),
+                    variables, tokens, pos, caches, cross_kvs, emask,
+                    method=lambda m, *a: m.decoder.decode_step_cached(
+                        *a, beam_width=W
+                    ),
                 )
 
             ctc_lp = None

@@ -73,28 +73,37 @@ class TransformerDecoder(nn.Module):
         (~6x decode-loop FLOP cut for the L3 config)."""
         return [layer.compute_cross_kv(eouts) for layer in self.layers]
 
-    def init_cache(self, B: int, max_len: int):
-        """Per-layer self-attention K/V caches for incremental decoding."""
+    def init_cache(self, B: int, max_len: int, dtype=jnp.float32):
+        """Per-layer self-attention K/V caches for incremental decoding.
+
+        `dtype` should match the activation dtype of the decode path
+        (bf16 under compute_dtype=bfloat16): a f32 cache would silently
+        upcast the attends AND double the per-step cache traffic, which
+        dominates beam-decode time.
+        """
         cfg = self.cfg
         H = cfg.dec_num_attention_heads
         dk = cfg.dec_hidden_size // H
         return [
             (
-                jnp.zeros((B, max_len, H, dk), jnp.float32),
-                jnp.zeros((B, max_len, H, dk), jnp.float32),
+                jnp.zeros((B, max_len, H, dk), dtype),
+                jnp.zeros((B, max_len, H, dk), dtype),
             )
             for _ in range(cfg.dec_num_layers)
         ]
 
     def decode_step_cached(
-        self, tokens, pos, caches, cross_kvs, memory_mask=None
+        self, tokens, pos, caches, cross_kvs, memory_mask=None,
+        beam_width=None,
     ):
         """Incremental one-token decode with self-attention KV caches.
 
         tokens: (B,) newest token per row; pos: (B,) its position; caches
         from `init_cache` (beam-gathered by the caller on pruning).
         Numerically identical to `forward_one_step` on the full prefix but
-        O(1) instead of O(L) work per step.
+        O(1) instead of O(L) work per step.  With `beam_width`, B is
+        utterances x beams and `cross_kvs`/`memory_mask` are
+        per-utterance (see TransformerDecoderLayer.decode_step).
         """
         cfg = self.cfg
         B = tokens.shape[0]
@@ -116,7 +125,7 @@ class TransformerDecoder(nn.Module):
         for i, layer in enumerate(self.layers):
             h, ck, cv = layer.decode_step(
                 h, caches[i][0], caches[i][1], pos, self_mask,
-                memory_mask, cross_kvs[i],
+                memory_mask, cross_kvs[i], beam_width=beam_width,
             )
             new_caches.append((ck, cv))
         logits = self.output(self.norm(h[:, 0]))

@@ -88,7 +88,13 @@ class TransformerEncoder(nn.Module):
                     pos_encode_type=pos_encode_type,
                     conv_kernel_size=cfg.conv_kernel_size,
                 )
-            xs = Layer(**kw)(xs, mask, pos_emb, deterministic)
+                xs = Layer(**kw)(xs, mask, pos_emb, deterministic)
+            else:
+                kw.update(fused_attn=cfg.enc_fused_attn)
+                xs = Layer(**kw)(
+                    xs, mask, pos_emb, deterministic,
+                    lens=elens if cfg.enc_fused_attn else None,
+                )
             if (layer_id + 1) == inter_layer_id:
                 # intermediate branches also get the pre-norm normalization
                 eouts_inter = final_norm(xs)

@@ -125,6 +125,7 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     hidden_size: int
     dropout_rate: float = 0.0
+    fused: bool = False  # Pallas fused softmax(QK^T)V (ops/attention_pallas)
 
     def setup(self):
         self.d_k = self.hidden_size // self.num_heads
@@ -156,7 +157,31 @@ class MultiHeadAttention(nn.Module):
         B, Tq = out.shape[0], out.shape[1]
         return self.linear_out(out.reshape(B, Tq, self.hidden_size))
 
-    def __call__(self, q_in, k_in, v_in, mask=None, deterministic: bool = True):
+    def __call__(
+        self, q_in, k_in, v_in, mask=None, deterministic: bool = True,
+        lens=None,
+    ):
+        if self.fused and lens is not None:
+            # fused path: key-pad masking by `lens` (must agree with
+            # `mask`); scores never materialize in HBM
+            from emoasr_tpu.ops.attention_pallas import fused_self_attention
+
+            q, k, v = self._qkv(q_in, k_in, v_in)
+            rate = self.dropout_rate
+            if rate > 0.0 and not deterministic:
+                seed = jax.random.bits(
+                    self.make_rng("dropout"), dtype=jnp.uint32
+                ).astype(jnp.int32)
+            else:
+                seed = jnp.zeros((), jnp.int32)
+            out = fused_self_attention(
+                q, k, v, lens, seed,
+                scale=1.0 / math.sqrt(self.d_k),
+                dropout_rate=rate,
+                deterministic=deterministic,
+            )
+            B, Tq = out.shape[0], out.shape[1]
+            return self.linear_out(out.reshape(B, Tq, self.hidden_size))
         q, k, v = self._qkv(q_in, k_in, v_in)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(self.d_k)
         return self._attend(scores, v, mask, deterministic)
@@ -239,15 +264,19 @@ class TransformerEncoderLayer(nn.Module):
     intermediate_size: int
     dropout_rate: float = 0.1
     dropout_attn_rate: float = 0.1
+    fused_attn: bool = False
 
     @nn.compact
-    def __call__(self, x, mask=None, pos_emb=None, deterministic: bool = True):
+    def __call__(
+        self, x, mask=None, pos_emb=None, deterministic: bool = True,
+        lens=None,
+    ):
         drop = nn.Dropout(self.dropout_rate)
         h = nn.LayerNorm(epsilon=1e-12, name="norm1")(x)
         h = MultiHeadAttention(
             self.num_heads, self.hidden_size, self.dropout_attn_rate,
-            name="self_attn",
-        )(h, h, h, mask, deterministic)
+            fused=self.fused_attn, name="self_attn",
+        )(h, h, h, mask, deterministic, lens=lens)
         x = x + drop(h, deterministic=deterministic)
         h = nn.LayerNorm(epsilon=1e-12, name="norm2")(x)
         h = PositionwiseFeedForward(
@@ -291,7 +320,7 @@ class TransformerDecoderLayer(nn.Module):
 
     def decode_step(
         self, h, cache_k, cache_v, pos, self_mask, memory_mask=None,
-        cross_kv=None,
+        cross_kv=None, beam_width=None,
     ):
         """Incremental decode: one new position per row.
 
@@ -299,6 +328,13 @@ class TransformerDecoderLayer(nn.Module):
         self-attention cache; pos: (B,) the new token's position.  Writes
         the new K/V into the cache and attends over positions <= pos —
         exactly the causal column the full recompute would produce.
+
+        `beam_width=W` marks B as Bu*W beam rows (Bu utterances) sharing
+        encoder memory: `cross_kv`/`memory_mask` are then per-utterance
+        (Bu, T, ...) and the cross-attention treats the W beams as W
+        query positions of one batched attention — the encoder K/V are
+        read from HBM once per utterance instead of once per beam (the
+        dominant per-step traffic at large T: W x less).
         """
         B = h.shape[0]
         hn = self.norm1(h)
@@ -309,9 +345,16 @@ class TransformerDecoderLayer(nn.Module):
         x = h + ha
 
         hn = self.norm2(x)
-        hc = self.src_attn.attend_kv(
-            hn, cross_kv[0], cross_kv[1], memory_mask, True
-        )
+        if beam_width is not None:
+            Bu = B // beam_width
+            hq = hn.reshape(Bu, beam_width, hn.shape[-1])
+            hc = self.src_attn.attend_kv(
+                hq, cross_kv[0], cross_kv[1], memory_mask, True
+            ).reshape(B, 1, hn.shape[-1])
+        else:
+            hc = self.src_attn.attend_kv(
+                hn, cross_kv[0], cross_kv[1], memory_mask, True
+            )
         x = x + hc
 
         hn = self.norm3(x)

@@ -31,6 +31,10 @@ from emoasr_tpu.search.ctc_prefix_score import (
 
 CTC_BEAM_WIDTH_RATIO = 1.5  # transformer.py:22
 
+# cache-length stage boundaries for the staged beam loop (see
+# attention_beam_search); tests override to force transitions at toy sizes
+STAGE_BOUNDS = (64, 128, 192)
+
 
 class _State(NamedTuple):
     step: jnp.ndarray
@@ -88,12 +92,21 @@ def attention_beam_search(
 
     hyps0 = jnp.full((B, W, Lmax), eos_id, jnp.int32)
 
+    # staged loop: the self-attention caches (and the LM-fusion prefix
+    # re-encode) only ever need rows < current length, so the search runs
+    # as a sequence of while_loops with growing static cache bounds —
+    # per-step cache traffic (attend reads + beam-gather read/write, the
+    # dominant decode cost) tracks the actual prefix length instead of
+    # Lmax.  Exact: rows >= len are never read (self_mask <= pos), and a
+    # row is overwritten at its step before first being attended.
+    stage_bounds = [b for b in STAGE_BOUNDS if b < Lmax] + [Lmax]
+
     caches0 = None
     if cached_step is not None:
         init_cache_fn, step_cached_fn = cached_step
         caches0 = jax.tree_util.tree_map(
             lambda x: x.reshape((B, W) + x.shape[1:]),
-            init_cache_fn(B * W, Lmax),
+            init_cache_fn(B * W, stage_bounds[0]),
         )
 
     state = _State(
@@ -123,12 +136,18 @@ def attention_beam_search(
     b_idx = jnp.arange(B)[:, None]
     w_idx = jnp.arange(W)[None, :]
 
-    def cond(state: _State):
-        active = (state.scores > DEAD / 2).any(axis=1)
-        running = active & (state.res_count < W)
-        return (state.step < max_decode_ylen) & running.any()
+    def make_cond(step_cap: int):
+        def cond(state: _State):
+            active = (state.scores > DEAD / 2).any(axis=1)
+            running = active & (state.res_count < W)
+            return (state.step < step_cap) & running.any()
 
-    def body(state: _State):
+        return cond
+
+    def make_body(Lc: int):
+        return lambda state: body(state, Lc)
+
+    def body(state: _State, Lc: int):
         alive = state.scores > DEAD / 2  # (B, W)
         row_active = alive.any(axis=1) & (state.res_count < W)  # (B,)
 
@@ -148,7 +167,12 @@ def attention_beam_search(
                 lambda x: x.reshape((B, W) + x.shape[1:]), new_flat_caches
             )
         else:
-            logits = step_fn(flat_hyps, flat_lens, eouts_rep, elens_rep)
+            # causal decoder: positions >= the stage bound are all beyond
+            # every live prefix, so re-encoding the sliced buffer is exact
+            logits = step_fn(
+                flat_hyps[:, :Lc], jnp.minimum(flat_lens, Lc),
+                eouts_rep, elens_rep,
+            )
             new_caches = None
         scores_att = jax.nn.log_softmax(
             logits.astype(jnp.float32), -1
@@ -156,7 +180,7 @@ def attention_beam_search(
 
         if lm is not None:
             lm_logp, new_lm_states = lm.predict_beams(
-                state.hyps, state.lens, state.lm_states
+                state.hyps[:, :, :Lc], state.lens, state.lm_states
             )
             lm_logp = lm_logp[:, :, :V]
             scores_pre = scores_att + lm_weight * lm_logp
@@ -295,7 +319,27 @@ def attention_beam_search(
             *[pick(n, o) for n, o in zip(new_state[1:], state[1:])],
         )
 
-    state = jax.lax.while_loop(cond, body, state)
+    prev_bound = stage_bounds[0]
+    for bound in stage_bounds:
+        if bound > prev_bound and state.caches is not None:
+            state = state._replace(
+                caches=jax.tree_util.tree_map(
+                    lambda x: jnp.pad(
+                        x,
+                        ((0, 0), (0, 0), (0, bound - x.shape[2]))
+                        + ((0, 0),) * (x.ndim - 3),
+                    ),
+                    state.caches,
+                )
+            )
+        # step cap: the cache write position (lens - 1 <= step + 1) must
+        # stay inside this stage's bound
+        state = jax.lax.while_loop(
+            make_cond(min(bound - 1, max_decode_ylen)),
+            make_body(bound),
+            state,
+        )
+        prev_bound = bound
 
     order = jnp.argsort(-state.res_scores, axis=1)
     return (

@@ -196,3 +196,84 @@ def test_cached_step_matches_forward_one_step():
             err_msg=f"step {step}",
         )
         hyps = hyps.at[:, step + 1].set(jnp.asarray(toks[:, step]))
+
+
+def test_staged_loop_equivalence(monkeypatch):
+    """The staged while_loop (growing cache bounds) must match the
+    single-stage search exactly — transitions forced at toy sizes."""
+    import emoasr_tpu.search.attention_beam as ab
+
+    dec = _ref_decoder(3)
+    with torch.no_grad():
+        dec.output.bias[2] += 0.5  # some rows finish, some hit the cap
+    mine, variables, cfg = _mine_from_ref(dec)
+    rng = np.random.default_rng(3)
+    B, T = 3, 10
+    eouts = jnp.asarray(rng.normal(size=(B, T, 16)).astype(np.float32))
+    elens = jnp.asarray([10, 8, 6])
+
+    def step_fn(h, l, eo, el):
+        emask = make_pad_mask(el, T)[:, None, None, :]
+        return mine.apply(
+            variables, h, l, eo, emask,
+            method=TransformerDecoder.forward_one_step,
+        )
+
+    def run():
+        return attention_beam_search(
+            eouts, elens, step_fn, vocab_size=V, beam_width=3,
+            len_weight=0.2, max_decode_ylen=12,
+        )
+
+    base = jax.tree_util.tree_map(np.asarray, run())  # Lmax=14: one stage
+    monkeypatch.setattr(ab, "STAGE_BOUNDS", (4, 7, 11))
+    staged = jax.tree_util.tree_map(np.asarray, run())  # four stages
+    # hyps/lens must be identical; the re-encode step_fn runs on a
+    # sliced (shorter) token buffer per stage, so XLA reduces over a
+    # different padded extent and scores can differ at the last ulp
+    np.testing.assert_array_equal(base[0], staged[0])
+    np.testing.assert_array_equal(base[1], staged[1])
+    np.testing.assert_allclose(base[2], staged[2], rtol=1e-6, atol=1e-6)
+
+
+def test_staged_cached_beam_equivalence(monkeypatch):
+    """Staged loop with KV caches (padded across stage transitions) and
+    beam-shared cross-attention must match the single-stage result."""
+    import emoasr_tpu.search.attention_beam as ab
+
+    dec = _ref_decoder(11)
+    with torch.no_grad():
+        dec.output.bias[2] += 0.5
+    mine, variables, cfg = _mine_from_ref(dec)
+    rng = np.random.default_rng(11)
+    B, T, W = 2, 9, 3
+    eouts = jnp.asarray(rng.normal(size=(B, T, 16)).astype(np.float32))
+    elens = jnp.asarray([9, 6])
+    emask = make_pad_mask(elens, T)[:, None, None, :]
+    cross_kvs = mine.apply(
+        variables, eouts, method=TransformerDecoder.precompute_cross_kv
+    )
+
+    def init_cache_fn(N, Lmax):
+        return mine.apply(
+            variables, N, Lmax, method=lambda m, n, L: m.init_cache(n, L)
+        )
+
+    def step_cached_fn(tokens, pos, caches):
+        return mine.apply(
+            variables, tokens, pos, caches, cross_kvs, emask,
+            method=lambda m, *a: m.decode_step_cached(*a, beam_width=W),
+        )
+
+    def run():
+        return attention_beam_search(
+            eouts, elens, None, vocab_size=V, beam_width=W,
+            len_weight=0.2, max_decode_ylen=12,
+            cached_step=(init_cache_fn, step_cached_fn),
+        )
+
+    base = jax.tree_util.tree_map(np.asarray, run())
+    monkeypatch.setattr(ab, "STAGE_BOUNDS", (4, 7, 11))
+    staged = jax.tree_util.tree_map(np.asarray, run())
+    for a, b in zip(base, staged):
+        np.testing.assert_array_equal(a, b)

@@ -30,8 +30,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--dtype", default="float32",
+                    help="decode compute dtype (float32 | bfloat16)")
+    ap.add_argument("--max-ylen", type=int, default=64)
     ap.add_argument("--variants", default=(
-        "att,att_ctc,att_sf,att_sf_cached,full,full_cached"
+        "encode,att,att_ctc,att_sf,att_sf_cached,full,full_cached"
     ))
     args = ap.parse_args()
     want = set(args.variants.split(","))
@@ -65,7 +68,8 @@ def main():
         enc_intermediate_size=1024, dec_hidden_size=256,
         dec_num_attention_heads=4, dec_num_layers=6,
         dec_intermediate_size=2048, vocab_size=10000, mtl_ctc_weight=0.3,
-        max_decode_ylen=64, dropout_dec_rate=0.0,
+        max_decode_ylen=args.max_ylen, dropout_dec_rate=0.0,
+        compute_dtype=args.dtype,
     )
     cfg = config_from_dict(L3)
     model = ASR(cfg)
@@ -89,6 +93,10 @@ def main():
     lvars = lm.init(
         jax.random.PRNGKey(1), jnp.zeros((1, 2), jnp.int32), jnp.asarray([2])
     )
+    if args.dtype == "bfloat16":
+        from emoasr_tpu.utils.precision import cast_floating
+
+        lvars = cast_floating(lvars, jnp.bfloat16)
 
     def build(beam_kw, lm_mode=None):
         lmf = (
@@ -112,6 +120,29 @@ def main():
         ),
     }
     runs = {}
+    if "encode" in want:
+        # encoder + cross-KV + CTC head alone: splits the utterance-level
+        # prologue from the beam loop
+        from emoasr_tpu.utils.precision import cast_floating, is_half
+
+        evars = (
+            cast_floating(variables, jnp.bfloat16)
+            if is_half(cfg) else variables
+        )
+
+        def enc_all(v, xs_, xlens_):
+            x2 = xs_.astype(jnp.bfloat16) if is_half(cfg) else xs_
+            eouts, elens, _ = model.apply(v, x2, xlens_, method=ASR.encode)
+            ckv = model.apply(
+                v, eouts, method=lambda m, e: m.decoder.precompute_cross_kv(e)
+            )
+            lp = model.apply(
+                v, eouts, method=lambda m, e: m.decoder.ctc.logits(e)
+            )
+            return eouts, ckv, lp
+
+        cenc = jax.jit(enc_all).lower(evars, xs, xlens).compile()
+        runs["encode"] = lambda: cenc(evars, xs, xlens)
     for name, (kw, mode) in specs.items():
         if name not in want:
             continue

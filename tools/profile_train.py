@@ -139,6 +139,7 @@ def main():
     )
     add_train_variant("threefry_rng", dict(rng_impl="threefry2x32"))
     add_train_variant("f32_compute", dict(compute_dtype="float32"))
+    add_train_variant("fused_attn", dict(enc_fused_attn=True))
 
     # fwd+bwd only (no clip/optimizer/NaN-skip): raw value_and_grad of the
     # same loss the train step differentiates
