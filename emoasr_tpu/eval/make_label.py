@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from emoasr_tpu.config import load_config
 from emoasr_tpu.eval.test_asr import load_lm
 from emoasr_tpu.models.lm.lm import LM
+from emoasr_tpu.search.common import topk_lastdim
 from emoasr_tpu.utils.converters import str2ints
 from emoasr_tpu.utils.log import setup_logging
 from emoasr_tpu.utils.paths import get_model_path, rel_to_abs_path
@@ -37,7 +38,7 @@ BATCH_SIZE = 128
 
 def _topk_temp(logits_rows: jnp.ndarray, topk: int, temp: float):
     """(N, V) -> (values (N, k) ids, probs (N, k)) on device."""
-    o_topk, v_topk = jax.lax.top_k(logits_rows, topk)
+    o_topk, v_topk = topk_lastdim(logits_rows, topk)
     p_topk = jax.nn.softmax(o_topk.astype(jnp.float32) / temp, axis=-1)
     return np.asarray(v_topk), np.asarray(p_topk)
 

@@ -23,7 +23,12 @@ from typing import Callable, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from emoasr_tpu.search.common import DEAD, LMFusion, gather_beams
+from emoasr_tpu.search.common import (
+    DEAD,
+    LMFusion,
+    gather_beams,
+    topk_lastdim,
+)
 from emoasr_tpu.search.ctc_prefix_score import (
     ctc_prefix_initial_state,
     ctc_prefix_score_step,
@@ -190,7 +195,7 @@ def attention_beam_search(
 
         if use_ctc:
             # pre-select K2 candidates by att(+lm) (transformer.py:222-232)
-            pre_sc, v_topb = jax.lax.top_k(scores_pre, K2)  # (B, W, K2)
+            pre_sc, v_topb = topk_lastdim(scores_pre, K2)  # (B, W, K2)
             psi, ctc_state_new = ctc_prefix_score_step(
                 ctc_lp_T, elens, state.hyps, state.lens, v_topb,
                 state.ctc_state, blank_id, eos_id,
@@ -214,7 +219,7 @@ def attention_beam_search(
             sel_tok = jnp.take_along_axis(v_topb, sel_i, axis=2)
             sel_psi = jnp.take_along_axis(psi, sel_i, axis=2)
         else:
-            sel_sc, sel_tok = jax.lax.top_k(scores_pre, W)  # (B, W, W)
+            sel_sc, sel_tok = topk_lastdim(scores_pre, W)  # (B, W, W)
             sel_psi = None
             ctc_state_new = None
 

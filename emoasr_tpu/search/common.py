@@ -156,6 +156,40 @@ def make_lm_fusion(
     return LMFusion(predict_beams, init_states, weight)
 
 
+def topk_lastdim(x: jnp.ndarray, k: int, chunk: int = 128):
+    """Exact top-k along the last axis via two-level chunked top_k.
+
+    XLA's TopK over a long trailing dim is the single largest cost of the
+    beam loops on TPU (measured 2.0 ms/step for (160, 10000) at k=10,
+    `tools/ablate_beam.py`); chunking to 128-wide top_k plus a second
+    top_k over the C*k survivors is exact — every global top-k element is
+    its chunk's top-k — and ~12x faster (0.17 ms/step).
+
+    Tie-breaking matches `lax.top_k` (equal values resolve to the lowest
+    index): the flattened candidate order is chunk-major and rank-minor,
+    both ascending in the original index, and the -inf padding of the
+    last chunk sits at the highest flattened positions so real entries
+    always win ties against padding.
+    """
+    V = x.shape[-1]
+    if V <= max(chunk * 2, 2 * k):
+        return jax.lax.top_k(x, k)
+    lead = x.shape[:-1]
+    C = -(-V // chunk)
+    pad = C * chunk - V
+    if pad:
+        x = jnp.pad(
+            x, [(0, 0)] * len(lead) + [(0, pad)],
+            constant_values=-jnp.inf,
+        )
+    kc = min(k, chunk)
+    v1, i1 = jax.lax.top_k(x.reshape(lead + (C, chunk)), kc)
+    i1 = i1 + (jnp.arange(C, dtype=i1.dtype) * chunk)[:, None]
+    v2, i2 = jax.lax.top_k(v1.reshape(lead + (C * kc,)), k)
+    idx = jnp.take_along_axis(i1.reshape(lead + (C * kc,)), i2, -1)
+    return v2, idx
+
+
 def gather_beams(tree: Any, idx: jnp.ndarray):
     """Gather pytree leaves shaped (B, W, ...) with (B, W') indices along
     the beam axis (axis 1).  None passes through."""

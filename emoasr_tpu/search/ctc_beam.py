@@ -35,6 +35,7 @@ from emoasr_tpu.search.common import (
     gather_beams,
     hash_extend,
     hash_init,
+    topk_lastdim,
 )
 
 
@@ -108,7 +109,7 @@ def ctc_beam_search(
         alive = state.score_asr > DEAD / 2  # (B, W)
 
         # per-step top-k candidate tokens (ctc.py:240-247)
-        _, v_topk = jax.lax.top_k(lp_t, K)  # (B, K)
+        _, v_topk = topk_lastdim(lp_t, K)  # (B, K)
 
         if lm is not None:
             lm_logp, new_lm_states = lm.predict_beams(

@@ -24,7 +24,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from emoasr_tpu.search.common import DEAD, gather_beams
+from emoasr_tpu.search.common import DEAD, gather_beams, topk_lastdim
 
 
 class _State(NamedTuple):
@@ -100,7 +100,7 @@ def las_beam_search(
         )
         scores_att = logp.astype(jnp.float32).reshape(B, W, V)
 
-        sel_sc, sel_tok = jax.lax.top_k(scores_att, W)  # (B, W, W)
+        sel_sc, sel_tok = topk_lastdim(scores_att, W)  # (B, W, W)
         pool_sc = jnp.where(
             alive[:, :, None], state.scores[:, :, None] + sel_sc, DEAD
         ).reshape(B, W * W)

@@ -277,3 +277,22 @@ def test_staged_cached_beam_equivalence(monkeypatch):
     staged = jax.tree_util.tree_map(np.asarray, run())
     for a, b in zip(base, staged):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("shape,k", [((7, 10000), 10), ((3, 5, 1003), 15),
+                                     ((4, 257), 8), ((2, 64), 5)])
+def test_topk_lastdim_matches_lax(shape, k):
+    from emoasr_tpu.search.common import topk_lastdim
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=shape).astype(np.float32)
+    # inject ties (including at the selection boundary) and -inf blocks
+    flat = x.reshape(-1, shape[-1])
+    flat[:, 5] = flat[:, 1]
+    flat[0, : k * 3] = 7.5
+    if shape[-1] > 200:
+        flat[-1, 100:] = -np.inf
+    v_ref, i_ref = jax.lax.top_k(jnp.asarray(x), k)
+    v_new, i_new = topk_lastdim(jnp.asarray(x), k)
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_new))
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_new))
