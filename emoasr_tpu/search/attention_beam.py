@@ -37,8 +37,11 @@ from emoasr_tpu.search.ctc_prefix_score import (
 CTC_BEAM_WIDTH_RATIO = 1.5  # transformer.py:22
 
 # cache-length stage boundaries for the staged beam loop (see
-# attention_beam_search); tests override to force transitions at toy sizes
-STAGE_BOUNDS = (64, 128, 192)
+# attention_beam_search).  None = adaptive (~Lmax/4 and ~Lmax/2, rounded
+# to multiples of 8): three stages balance per-step cache/re-encode
+# traffic (~0.70x of unstaged average) against while-loop compile count.
+# Tests override with explicit bounds to force transitions at toy sizes.
+STAGE_BOUNDS = None
 
 
 class _State(NamedTuple):
@@ -104,7 +107,11 @@ def attention_beam_search(
     # dominant decode cost) tracks the actual prefix length instead of
     # Lmax.  Exact: rows >= len are never read (self_mask <= pos), and a
     # row is overwritten at its step before first being attended.
-    stage_bounds = [b for b in STAGE_BOUNDS if b < Lmax] + [Lmax]
+    if STAGE_BOUNDS is None:
+        cand = [max(8, Lmax // 4 // 8 * 8), max(16, Lmax // 2 // 8 * 8)]
+    else:
+        cand = list(STAGE_BOUNDS)
+    stage_bounds = sorted({b for b in cand if b < Lmax}) + [Lmax]
 
     caches0 = None
     if cached_step is not None:
@@ -308,7 +315,14 @@ def attention_beam_search(
             res_count=res_count,
         )
 
-        # freeze finished batch rows
+        # freeze finished batch rows.  The big per-beam leaves (decoder KV
+        # caches, LM-fusion states) are deliberately NOT frozen: for an
+        # inactive row every consumer is already guarded — cont_scores
+        # collapse to DEAD (pool_sc is DEAD-masked), res_* writes are
+        # gated on row_active, and the search never reads a frozen row's
+        # caches again — so the jnp.where pass over ~50 MB of cache per
+        # step would buy nothing (measured ~0.3 ms/step,
+        # tools/stub_beam.py).
         def pick(n, o):
             if n is None:
                 return None
@@ -319,9 +333,12 @@ def attention_beam_search(
                 n, o,
             )
 
-        return _State(
+        frozen = _State(
             state.step + 1,
             *[pick(n, o) for n, o in zip(new_state[1:], state[1:])],
+        )
+        return frozen._replace(
+            caches=new_state.caches, lm_states=new_state.lm_states
         )
 
     prev_bound = stage_bounds[0]
