@@ -195,12 +195,23 @@ class BertStack(nn.Module):
         return h
 
     def init_cache(self, B: int, max_len: int, dtype=jnp.float32):
-        """Per-layer self-attention K/V caches for incremental causal
-        decoding: (num_layers, 2, B, max_len, H, dk)."""
+        """Per-layer [(k, v)] self-attention caches for incremental causal
+        decoding, each (B, max_len, H, dk).
+
+        Batch-major tuples (same family as the ASR decoder's caches)
+        rather than one stacked (layers, 2, B, ...) array: beam searches
+        gather the batch axis every step, and a leading-layers layout
+        forced two full-cache transposes per step in the fusion adapter
+        (measured the dominant cost of cached fusion, tools/profile_l33).
+        """
         d_k = self.hidden_size // self.num_heads
-        return jnp.zeros(
-            (self.num_layers, 2, B, max_len, self.num_heads, d_k), dtype
-        )
+        return [
+            (
+                jnp.zeros((B, max_len, self.num_heads, d_k), dtype),
+                jnp.zeros((B, max_len, self.num_heads, d_k), dtype),
+            )
+            for _ in range(self.num_layers)
+        ]
 
     def step(self, tokens, pos, caches):
         """One incremental causal step.
@@ -212,9 +223,9 @@ class BertStack(nn.Module):
         h = self._embed(tokens[:, None], pos[:, None], True)[:, 0]
         new_caches = []
         for i, layer in enumerate(self.layers):
-            h, ck, cv = layer.step(h, caches[i, 0], caches[i, 1], pos)
-            new_caches.append(jnp.stack([ck, cv]))
-        return h, jnp.stack(new_caches)
+            h, ck, cv = layer.step(h, caches[i][0], caches[i][1], pos)
+            new_caches.append((ck, cv))
+        return h, new_caches
 
 
 class BertMLMHead(nn.Module):

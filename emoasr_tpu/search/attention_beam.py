@@ -134,7 +134,12 @@ def attention_beam_search(
             if use_ctc
             else None
         ),
-        lm_states=lm.init_states(B, W) if lm is not None else None,
+        lm_states=(
+            lm.init_states(B, W, stage_bounds[0])
+            if lm is not None and lm.state_pad_axis is not None
+            else lm.init_states(B, W) if lm is not None
+            else None
+        ),
         res_hyps=hyps0,
         res_lens=jnp.zeros((B, W), jnp.int32),
         res_scores=jnp.full((B, W), DEAD, jnp.float32),
@@ -341,6 +346,8 @@ def attention_beam_search(
             caches=new_state.caches, lm_states=new_state.lm_states
         )
 
+    lm_pad_axis = lm.state_pad_axis if lm is not None else None
+
     prev_bound = stage_bounds[0]
     for bound in stage_bounds:
         if bound > prev_bound and state.caches is not None:
@@ -353,6 +360,24 @@ def attention_beam_search(
                     ),
                     state.caches,
                 )
+            )
+        if (
+            bound > prev_bound
+            and lm_pad_axis is not None
+            and state.lm_states is not None
+        ):
+            cap = min(bound, lm.state_max_len)
+
+            def pad_lm(x):
+                cur = x.shape[lm_pad_axis]
+                if cur >= cap:
+                    return x
+                width = [(0, 0)] * x.ndim
+                width[lm_pad_axis] = (0, cap - cur)
+                return jnp.pad(x, width)
+
+            state = state._replace(
+                lm_states=jax.tree_util.tree_map(pad_lm, state.lm_states)
             )
         # step cap: the cache write position (lens - 1 <= step + 1) must
         # stay inside this stage's bound

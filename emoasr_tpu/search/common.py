@@ -43,12 +43,22 @@ class LMFusion(NamedTuple):
     """Adapter bundling an LM for in-loop shallow fusion over (B, W) beams.
 
     predict_beams(hyps (B,W,L), lens (B,W), states) -> (logp (B,W,V), states)
-    init_states(B, W) -> states pytree with (B, W, ...) leaves, or None.
+    init_states(B, W, max_len=None) -> states pytree with (B, W, ...)
+    leaves, or None; `max_len` lets a staged search start with short
+    caches.
+
+    `state_pad_axis`/`state_max_len`: set when the state leaves carry a
+    growable length axis — a staged search (attention_beam) then inits
+    the states at its first stage bound and zero-pads that axis at stage
+    transitions (capped at state_max_len), so per-step state traffic
+    tracks the prefix length.
     """
 
     predict_beams: Callable
     init_states: Callable
     weight: float
+    state_pad_axis: Optional[int] = None
+    state_max_len: Optional[int] = None
 
 
 def make_lm_fusion(
@@ -97,31 +107,38 @@ def make_lm_fusion(
             B, W, L = hyps.shape
             flat = hyps.reshape(B * W, L)
             fl = lens.reshape(B * W)
-            pos = jnp.maximum(fl - 1, 0).astype(jnp.int32)
-            tokens = jnp.take_along_axis(flat, pos[:, None], axis=1)[:, 0]
-            # (B, W, layers, 2, Lmax, H, dk) -> (layers, 2, B*W, ...)
-            caches = jnp.moveaxis(
-                states.reshape((B * W,) + states.shape[2:]), 0, 2
+            Lc = jax.tree_util.tree_leaves(states)[0].shape[2]
+            idx = jnp.maximum(fl - 1, 0).astype(jnp.int32)
+            tokens = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+            # leaves (B, W, Lc, H, dk) -> (B*W, Lc, H, dk): pure reshape,
+            # no transposes (the old leading-layers layout moved the
+            # whole cache through HBM twice per step)
+            caches = jax.tree_util.tree_map(
+                lambda x: x.reshape((B * W,) + x.shape[2:]), states
             )
             logp, caches = lm_model.apply(
-                lm_variables, tokens, jnp.minimum(pos, max_len - 1), caches,
+                lm_variables, tokens, jnp.minimum(idx, Lc - 1), caches,
                 method=type(lm_model).predict_step,
             )
-            out = jnp.moveaxis(caches, 2, 0).reshape(
-                (B, W) + states.shape[2:]
+            out = jax.tree_util.tree_map(
+                lambda x: x.reshape((B, W) + x.shape[1:]), caches
             )
             return logp.reshape(B, W, -1), out
 
-        def init_states_cached(B, W):
+        def init_states_cached(B, W, init_len=None):
+            L0 = max_len if init_len is None else min(init_len, max_len)
             caches = lm_model.apply(
-                lm_variables, B * W, max_len,
+                lm_variables, B * W, L0,
                 method=type(lm_model).init_cache,
-            )  # (layers, 2, B*W, Lmax, H, dk)
-            return jnp.moveaxis(caches, 2, 0).reshape(
-                (B, W) + caches.shape[:2] + caches.shape[3:]
+            )  # [(k, v)] with (B*W, L0, H, dk) leaves
+            return jax.tree_util.tree_map(
+                lambda x: x.reshape((B, W) + x.shape[1:]), caches
             )
 
-        return LMFusion(predict_beams_cached, init_states_cached, weight)
+        return LMFusion(
+            predict_beams_cached, init_states_cached, weight,
+            state_pad_axis=2, state_max_len=max_len,
+        )
 
     def predict_beams(hyps, lens, states):
         B, W, L = hyps.shape
@@ -143,7 +160,7 @@ def make_lm_fusion(
             )
         return logp.reshape(B, W, -1), out_states
 
-    def init_states(B, W):
+    def init_states(B, W, init_len=None):
         if not is_rnn:
             return None
         st = lm_model.apply(
