@@ -24,7 +24,13 @@ from typing import Callable, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from emoasr_tpu.search.common import DEAD, gather_beams, hash_extend, hash_init
+from emoasr_tpu.search.common import (
+    DEAD,
+    gather_beams,
+    hash_extend,
+    hash_init,
+    topk_lastdim,
+)
 
 NUM_EXPANDS = 3
 
@@ -163,7 +169,7 @@ def rnnt_beam_search(
                         cur.hyps, cur.lens, cur.lm_states
                     )
                     sa_nb = sa_nb + lm.weight * lm_logp[:, :, 1:]
-                top_sc, top_v = jax.lax.top_k(sa_nb, K)  # (B, W, K)
+                top_sc, top_v = topk_lastdim(sa_nb, K)  # (B, W, K)
                 top_v = top_v + 1
                 cand_scores = jnp.where(
                     alive[:, :, None]
