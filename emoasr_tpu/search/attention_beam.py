@@ -31,7 +31,8 @@ from emoasr_tpu.search.common import (
 )
 from emoasr_tpu.search.ctc_prefix_score import (
     ctc_prefix_initial_state,
-    ctc_prefix_score_step,
+    ctc_prefix_score_psi,
+    ctc_prefix_state_update,
 )
 
 CTC_BEAM_WIDTH_RATIO = 1.5  # transformer.py:22
@@ -208,7 +209,10 @@ def attention_beam_search(
         if use_ctc:
             # pre-select K2 candidates by att(+lm) (transformer.py:222-232)
             pre_sc, v_topb = topk_lastdim(scores_pre, K2)  # (B, W, K2)
-            psi, ctc_state_new = ctc_prefix_score_step(
+            # psi only — the lattice state advances lazily AFTER selection
+            # (ctc_prefix_state_update below), so the Kogge-Stone scans
+            # run over W winners instead of W*K2 candidates
+            psi = ctc_prefix_score_psi(
                 ctc_lp_T, elens, state.hyps, state.lens, v_topb,
                 state.ctc_state, blank_id, eos_id,
             )
@@ -233,7 +237,6 @@ def attention_beam_search(
         else:
             sel_sc, sel_tok = topk_lastdim(scores_pre, W)  # (B, W, W)
             sel_psi = None
-            ctc_state_new = None
 
         K = W
         pool_sc = jnp.where(
@@ -242,11 +245,12 @@ def attention_beam_search(
         top_sc, top_idx = jax.lax.top_k(pool_sc, W)  # (B, W)
         parent = top_idx // K
 
-        new_hyps = gather_beams(state.hyps, parent)
+        parent_hyps = gather_beams(state.hyps, parent)
+        parent_lens = jnp.take_along_axis(state.lens, parent, axis=1)
         tok = jnp.take_along_axis(sel_tok.reshape(B, W * K), top_idx, axis=1)
-        new_lens = jnp.take_along_axis(state.lens, parent, axis=1) + 1
+        new_lens = parent_lens + 1
         pos = jnp.minimum(new_lens - 1, Lmax - 1)
-        new_hyps = new_hyps.at[b_idx, w_idx, pos].set(tok)
+        new_hyps = parent_hyps.at[b_idx, w_idx, pos].set(tok)
 
         new_score_ctc = state.score_ctc
         new_ctc_state = state.ctc_state
@@ -254,12 +258,12 @@ def attention_beam_search(
             new_score_ctc = jnp.take_along_axis(
                 sel_psi.reshape(B, W * K), top_idx, axis=1
             )
-            # gather candidate CTC states: (B, W, K2, T, 2) by parent + cand
-            ci = jnp.take_along_axis(sel_i.reshape(B, W * K), top_idx, axis=1)
-            st_parent = gather_beams(ctc_state_new, parent)  # (B, W, K2, T, 2)
-            new_ctc_state = jnp.take_along_axis(
-                st_parent, ci[:, :, None, None, None], axis=2
-            )[:, :, 0]
+            # lazy lattice update: advance r only for each beam's winning
+            # token, from the parent's state (W scans instead of W*K2)
+            new_ctc_state = ctc_prefix_state_update(
+                ctc_lp_T, elens, parent_hyps, parent_lens, tok,
+                gather_beams(state.ctc_state, parent), blank_id,
+            )
 
         new_lm_states_sel = (
             gather_beams(new_lm_states, parent) if lm is not None else None
