@@ -221,9 +221,8 @@ def attention_beam_search(
             # place, transformer.py:220-244) — effective LM weight
             # (2-w)*lm_weight.  Reproduced exactly: the published +CTC+SF
             # operating points were tuned under this formula.
-            pre_v = jnp.take_along_axis(scores_pre, v_topb, axis=2)
             cand = (
-                (1 - decode_ctc_weight) * pre_v
+                (1 - decode_ctc_weight) * pre_sc
                 + decode_ctc_weight * (psi - state.score_ctc[:, :, None])
             )
             if lm is not None:
