@@ -445,17 +445,27 @@ def main():
         max_decode_ylen=64, dropout_dec_rate=0.0,
     )
 
+    # Decode rows measure the production precision policy: params cast
+    # once to bf16, KV caches bf16, search scores/log-softmaxes f32
+    # (utils/precision.py).  r2 measured these rows in f32 — the dtype
+    # is tagged on each row so round-over-round deltas self-explain.
+    BF16 = dict(compute_dtype="bfloat16")
+    DTYPE_NOTE = "bf16 decode (production policy; r2 rows ran f32)"
+
     guard("ctc_beam8_rtf_L1", lambda: decode_row(
-        "ctc_beam8_rtf_L1", L1, DEC_T, 8, {"len_weight": 2.0},
+        "ctc_beam8_rtf_L1", dict(L1, **BF16), DEC_T, 8, {"len_weight": 2.0},
         batches=sweep_batches([64, 128]), ref_key="ctc_beam8_L1",
+        extra={"compute_dtype": "bfloat16", "note": DTYPE_NOTE},
     ))
     guard("rnnt_greedy_rtf_T5", lambda: decode_row(
-        "rnnt_greedy_rtf_T5", T5, DEC_T, 0, {},
+        "rnnt_greedy_rtf_T5", dict(T5, **BF16), DEC_T, 0, {},
         batches=sweep_batches([64, 128]), ref_key="rnnt_greedy_T5",
+        extra={"compute_dtype": "bfloat16", "note": DTYPE_NOTE},
     ))
     guard("rnnt_beam10_rtf_T5", lambda: decode_row(
-        "rnnt_beam10_rtf_T5", T5, DEC_T, 10, {},
+        "rnnt_beam10_rtf_T5", dict(T5, **BF16), DEC_T, 10, {},
         batches=sweep_batches([16, 64]), ref_key="rnnt_beam10_T5", n=2,
+        extra={"compute_dtype": "bfloat16", "note": DTYPE_NOTE},
     ))
 
     # L3-3: joint CTC + Transformer-LM shallow fusion (flagship)
@@ -475,17 +485,25 @@ def main():
             jax.random.PRNGKey(1), jnp.zeros((1, 2), jnp.int32),
             jnp.asarray([2])
         )
-        fusion = make_lm_fusion(lm, lvars, 0.5, max_len=80)
+        # LM params cast once to bf16 like the ASR params (the LM's
+        # log-softmax stays f32 inside the module, utils/precision.py)
+        from emoasr_tpu.utils.precision import cast_floating
+
+        fusion = make_lm_fusion(
+            lm, cast_floating(lvars, jnp.bfloat16), 0.5, max_len=80
+        )
         decode_row(
-            "att_joint_sf_rtf_L3_3", L3, DEC_T, 10,
+            "att_joint_sf_rtf_L3_3", dict(L3, **BF16), DEC_T, 10,
             {"len_weight": 2.0, "decode_ctc_weight": 0.3},
             batches=sweep_batches([16, 64]), ref_key="att_beam10_ctc_L3",
             lm=fusion, n=2,
             extra={
                 "fusion_mode": "stateless (auto-selected)",
+                "compute_dtype": "bfloat16",
                 "baseline_src": "measured_ref_cpu_no_sf",
                 "note": "reference baseline measured WITHOUT SF (its "
-                        "fusion would only be slower); conservative",
+                        "fusion would only be slower); conservative. "
+                        + DTYPE_NOTE,
             },
         )
 
