@@ -68,6 +68,11 @@ class ExpConfig:
     # reference; "chunked" streams time chunks with remat (O(BTU) memory);
     # "pallas" uses the fused TPU kernel forward (ops/rnnt_pallas.py)
     rnnt_joint_mode: str = "chunked"
+    # attention-decoder beam step: "dense" runs the ~25-op XLA step,
+    # "fused" the single Pallas program (ops/decoder_step_pallas.py),
+    # "auto" picks fused on TPU (the step is small-op latency-bound
+    # there) and dense elsewhere
+    dec_step_mode: str = "dense"  # dense | fused | auto
     mtl_ctc_weight: float = 0.0  # aux CTC for attention / RNN-T decoders
     max_decode_ylen: int = 256  # emission cap (rnn_transducer.py:32)
 

@@ -214,11 +214,17 @@ def build_decode_fn(
                     ),
                 )
 
+            step_mode = cfg.dec_step_mode
+            if step_mode == "auto":
+                from emoasr_tpu.ops.decoder_step_pallas import _on_tpu
+
+                step_mode = "fused" if _on_tpu() else "dense"
+
             def step_cached_fn(tokens, pos, caches):
                 return model.apply(
                     variables, tokens, pos, caches, cross_kvs, emask,
                     method=lambda m, *a: m.decoder.decode_step_cached(
-                        *a, beam_width=W
+                        *a, beam_width=W, step_mode=step_mode, elens=elens
                     ),
                 )
 

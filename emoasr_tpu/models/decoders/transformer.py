@@ -94,7 +94,7 @@ class TransformerDecoder(nn.Module):
 
     def decode_step_cached(
         self, tokens, pos, caches, cross_kvs, memory_mask=None,
-        beam_width=None,
+        beam_width=None, step_mode="dense", elens=None,
     ):
         """Incremental one-token decode with self-attention KV caches.
 
@@ -121,11 +121,13 @@ class TransformerDecoder(nn.Module):
             jnp.arange(Lmax)[None, :] <= pos[:, None]
         )[:, None, None, :]
 
+        fused = step_mode == "fused"
         new_caches = []
         for i, layer in enumerate(self.layers):
             h, ck, cv = layer.decode_step(
                 h, caches[i][0], caches[i][1], pos, self_mask,
                 memory_mask, cross_kvs[i], beam_width=beam_width,
+                fused=fused, elens=elens,
             )
             new_caches.append((ck, cv))
         logits = self.output(self.norm(h[:, 0]))

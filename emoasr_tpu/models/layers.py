@@ -318,9 +318,35 @@ class TransformerDecoderLayer(nn.Module):
     def compute_cross_kv(self, memory):
         return self.src_attn.kv(memory)
 
+    def _decode_step_weights(self):
+        """Raw weight dict for the fused Pallas step (same tensors the
+        dense path reads through flax)."""
+        p = self.variables["params"]
+        return dict(
+            ln1_s=p["norm1"]["scale"], ln1_b=p["norm1"]["bias"],
+            wq=p["self_attn"]["linear_q"]["kernel"],
+            bq=p["self_attn"]["linear_q"]["bias"],
+            wk=p["self_attn"]["linear_k"]["kernel"],
+            bk=p["self_attn"]["linear_k"]["bias"],
+            wv=p["self_attn"]["linear_v"]["kernel"],
+            bv=p["self_attn"]["linear_v"]["bias"],
+            wo=p["self_attn"]["linear_out"]["kernel"],
+            bo=p["self_attn"]["linear_out"]["bias"],
+            ln2_s=p["norm2"]["scale"], ln2_b=p["norm2"]["bias"],
+            cwq=p["src_attn"]["linear_q"]["kernel"],
+            cbq=p["src_attn"]["linear_q"]["bias"],
+            cwo=p["src_attn"]["linear_out"]["kernel"],
+            cbo=p["src_attn"]["linear_out"]["bias"],
+            ln3_s=p["norm3"]["scale"], ln3_b=p["norm3"]["bias"],
+            w1=p["feed_forward"]["w1"]["kernel"],
+            b1=p["feed_forward"]["w1"]["bias"],
+            w2=p["feed_forward"]["w2"]["kernel"],
+            b2=p["feed_forward"]["w2"]["bias"],
+        )
+
     def decode_step(
         self, h, cache_k, cache_v, pos, self_mask, memory_mask=None,
-        cross_kv=None, beam_width=None,
+        cross_kv=None, beam_width=None, fused=False, elens=None,
     ):
         """Incremental decode: one new position per row.
 
@@ -335,8 +361,25 @@ class TransformerDecoderLayer(nn.Module):
         query positions of one batched attention — the encoder K/V are
         read from HBM once per utterance instead of once per beam (the
         dominant per-step traffic at large T: W x less).
+
+        `fused=True` (+ `elens`, the per-utterance encoder lengths that
+        `memory_mask` encodes) runs the whole layer step as ONE Pallas
+        program (ops/decoder_step_pallas.py) — same math, none of the
+        ~25 small-op HBM round trips.
         """
         B = h.shape[0]
+        if fused and beam_width is not None and elens is not None:
+            from emoasr_tpu.ops.decoder_step_pallas import (
+                fused_decoder_layer_step,
+            )
+
+            y, k_new, v_new = fused_decoder_layer_step(
+                h[:, 0], cache_k, cache_v, pos, cross_kv[0], cross_kv[1],
+                elens, self._decode_step_weights(), beam_width=beam_width,
+            )
+            cache_k = cache_k.at[jnp.arange(B), pos].set(k_new)
+            cache_v = cache_v.at[jnp.arange(B), pos].set(v_new)
+            return y[:, None], cache_k, cache_v
         hn = self.norm1(h)
         q, k, v = self.self_attn._qkv(hn, hn, hn)  # (B, 1, H, dk)
         cache_k = cache_k.at[jnp.arange(B), pos].set(k[:, 0])
