@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--dtype", default="float32",
                     help="decode compute dtype (float32 | bfloat16)")
+    ap.add_argument("--step-mode", default="dense",
+                    help="decoder beam step: dense | fused | auto "
+                         "(ops/decoder_step_pallas.py)")
     ap.add_argument("--max-ylen", type=int, default=64)
     ap.add_argument("--variants", default=(
         "encode,att,att_ctc,att_sf,att_sf_cached,full,full_cached"
@@ -41,6 +44,12 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    # honor JAX_PLATFORMS (the injected axon plugin force-sets
+    # jax_platforms at interpreter start; prep.py:489 pattern)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
 
     jax.config.update(
         "jax_compilation_cache_dir",
@@ -69,7 +78,7 @@ def main():
         dec_num_attention_heads=4, dec_num_layers=6,
         dec_intermediate_size=2048, vocab_size=10000, mtl_ctc_weight=0.3,
         max_decode_ylen=args.max_ylen, dropout_dec_rate=0.0,
-        compute_dtype=args.dtype,
+        compute_dtype=args.dtype, dec_step_mode=args.step_mode,
     )
     cfg = config_from_dict(L3)
     model = ASR(cfg)

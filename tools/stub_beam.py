@@ -36,9 +36,18 @@ def main():
     ap.add_argument("--beam", type=int, default=10)
     ap.add_argument("--vocab", type=int, default=10000)
     ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--step-mode", default="dense",
+                    help="real-variant decoder step: dense | fused")
+    ap.add_argument("--dtype", default="float32")
     args = ap.parse_args()
     B, W, V, S = args.batch, args.beam, args.vocab, args.steps
     N = B * W
+
+    # honor JAX_PLATFORMS (the injected axon plugin force-sets
+    # jax_platforms at interpreter start; prep.py:489 pattern)
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        jax.config.update("jax_platforms", want)
 
     cfg = config_from_dict(
         dict(
@@ -60,7 +69,14 @@ def main():
         jnp.ones((2, 4), jnp.int32), jnp.asarray([4, 4]),
         jnp.ones((2, 5), jnp.int32), jnp.ones((2, 5), jnp.int32),
     )
-    eouts = jnp.asarray(rng.normal(size=(B, T, E)).astype(np.float32))
+    adt = jnp.dtype(args.dtype)
+    if adt != jnp.float32:
+        from emoasr_tpu.utils.precision import cast_floating
+
+        variables = cast_floating(variables, adt)
+    eouts = jnp.asarray(
+        rng.normal(size=(B, T, E)).astype(np.float32)
+    ).astype(adt)
     elens = jnp.full((B,), T, jnp.int32)
     emask = jnp.ones((B, 1, 1, T), bool)
     logits_const = jnp.asarray(rng.normal(size=(N, V)).astype(np.float32))
@@ -72,14 +88,14 @@ def main():
     def init_cache_fn(n, L):
         return model.apply(
             variables, n, L,
-            method=lambda m, a, Lm: m.decoder.init_cache(a, Lm),
+            method=lambda m, a, Lm: m.decoder.init_cache(a, Lm, dtype=adt),
         )
 
     def step_cached_fn(tokens, pos, caches):
         return model.apply(
             variables, tokens, pos, caches, cross_kvs, emask,
             method=lambda m, *a: m.decoder.decode_step_cached(
-                *a, beam_width=W
+                *a, beam_width=W, step_mode=args.step_mode, elens=elens
             ),
         )
 
