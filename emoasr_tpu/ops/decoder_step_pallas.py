@@ -194,9 +194,11 @@ def _kernel(
 
 
 def _pick_u_block(Bu, W, L, T, D, F, esize):
-    """Largest utterance block whose working set fits the VMEM budget."""
+    """Largest utterance block whose working set fits the VMEM budget,
+    preferring exact divisors of Bu (no padded rows)."""
     weights = 2 * D * F + 6 * D * D + 4 * F + 12 * D
-    for u in range(Bu, 0, -1):
+
+    def fits(u):
         rows = u * W
         need = (
             rows * L * D * 2 * esize        # self K/V cache block
@@ -204,9 +206,17 @@ def _pick_u_block(Bu, W, L, T, D, F, esize):
             + weights * esize
             + rows * (3 * D + F) * 4        # activations (f32 worst case)
         )
-        if need <= _VMEM_BUDGET:
+        return need <= _VMEM_BUDGET
+
+    best = 1
+    for u in range(Bu, 0, -1):
+        if fits(u):
+            best = u
+            break
+    for u in range(best, 0, -1):  # largest fitting divisor, if any
+        if Bu % u == 0 and fits(u):
             return u
-    return 1
+    return best
 
 
 @functools.partial(
