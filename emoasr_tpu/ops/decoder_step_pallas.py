@@ -40,6 +40,7 @@ Auto-interprets off-TPU (tests pin equivalence vs the dense path).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -84,7 +85,7 @@ def _layer_norm(x, scale, bias):
 
 def _kernel(
     pos_ref,      # (R, 1) int32
-    elens_ref,    # (U, 1) int32
+    elens_ref,    # (R, 1) int32 (per-row; rows of an utterance agree)
     h_ref,        # (R, D)
     ck_ref,       # (R, L, D)   self-attn K cache (head-packed)
     cv_ref,       # (R, L, D)
@@ -160,9 +161,12 @@ def _kernel(
     # ---- beam-shared cross-attention ----
     hn2 = _layer_norm(x, ln2_s_ref[...], ln2_b_ref[...])
     q2 = dense(hn2, cwq_ref, cbq_ref)  # (R, D)
+    # per-row elens -> per-utterance (rows of an utterance agree);
+    # (R, 1) blocks satisfy Mosaic's row tiling where (U, 1) cannot
+    elens_u = elens_ref[...].reshape(U, W)[:, :1]  # (U, 1)
     valid = (
         jax.lax.broadcasted_iota(jnp.int32, (U, 1, T), 2)
-        < elens_ref[...][:, :, None]
+        < elens_u[:, :, None]
     )  # (U, 1, T)
 
     cross_cols = []
@@ -194,8 +198,13 @@ def _kernel(
 
 
 def _pick_u_block(Bu, W, L, T, D, F, esize):
-    """Largest utterance block whose working set fits the VMEM budget,
-    preferring exact divisors of Bu (no padded rows)."""
+    """Largest utterance block whose working set fits the VMEM budget.
+
+    Prefers exact divisors of Bu (no padded rows).  A sub-block must
+    also keep its row count `u*W` divisible by 8 — Mosaic requires the
+    second-to-last block dim to be a multiple of 8 unless the block
+    spans the whole array (the `u == Bu` case is exempt because every
+    block dim then equals the array dim)."""
     weights = 2 * D * F + 6 * D * D + 4 * F + 12 * D
 
     def fits(u):
@@ -208,15 +217,19 @@ def _pick_u_block(Bu, W, L, T, D, F, esize):
         )
         return need <= _VMEM_BUDGET
 
-    best = 1
-    for u in range(Bu, 0, -1):
-        if fits(u):
-            best = u
-            break
-    for u in range(best, 0, -1):  # largest fitting divisor, if any
-        if Bu % u == 0 and fits(u):
+    def aligned(u):
+        return u == Bu or (u * W) % 8 == 0
+
+    for u in range(Bu, 0, -1):  # largest fitting aligned divisor
+        if Bu % u == 0 and aligned(u) and fits(u):
             return u
-    return best
+    for u in range(Bu, 0, -1):  # largest fitting aligned block (padded)
+        if aligned(u) and fits(u):
+            return u
+    # nothing aligned fits the soft budget: smallest aligned block
+    # (Mosaic errors only if it truly exceeds physical VMEM)
+    a = 8 // math.gcd(W, 8)
+    return a if a <= Bu else Bu
 
 
 @functools.partial(
@@ -241,7 +254,7 @@ def _call(pos2, elens2, h, ck, cv, crossk, crossv, weights, *, H, W,
         cv = jnp.pad(cv, ((0, pad_r), (0, 0), (0, 0)))
         crossk = jnp.pad(crossk, ((0, pad_u), (0, 0), (0, 0)))
         crossv = jnp.pad(crossv, ((0, pad_u), (0, 0), (0, 0)))
-        elens2 = jnp.pad(elens2, ((0, pad_u), (0, 0)))
+        elens2 = jnp.pad(elens2, ((0, pad_r), (0, 0)))  # per-row
     R = u_block * W
 
     vec = lambda blk, idx: pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
@@ -262,7 +275,7 @@ def _call(pos2, elens2, h, ck, cv, crossk, crossv, weights, *, H, W,
         grid=(G,),
         in_specs=[
             row(1),                 # pos
-            utt(1),                 # elens
+            row(1),                 # elens (per-row)
             row(D),                 # h
             row(L, D), row(L, D),   # self K/V cache
             utt(T, D), utt(T, D),   # encoder K/V
@@ -311,7 +324,9 @@ def fused_decoder_layer_step(
 
     y, knew, vnew = _call(
         pos.astype(jnp.int32).reshape(N, 1),
-        elens.astype(jnp.int32).reshape(Bu, 1),
+        jnp.repeat(  # per-row copy of the utterance's encoder length:
+            elens.astype(jnp.int32), N // Bu  # (Bu,1) blocks break
+        ).reshape(N, 1),                      # Mosaic's 8-row tiling
         h, packed(cache_k), packed(cache_v),
         packed(cross_k), packed(cross_v), w,
         H=H, W=int(beam_width), interpret=bool(interpret),
