@@ -93,9 +93,9 @@ class TransformerLM(nn.Module):
         logits = self.head(_gather_last(h, ylens))
         return jax.nn.log_softmax(logits.astype(jnp.float32), -1), states
 
-    def init_cache(self, B: int, max_len: int):
+    def init_cache(self, B: int, max_len: int, dtype=jnp.float32):
         """Self-attention KV caches for incremental `predict_step`."""
-        return self.stack.init_cache(B, max_len)
+        return self.stack.init_cache(B, max_len, dtype)
 
     def predict_step(self, tokens, pos, caches):
         """Incremental fusion step: consume `tokens` (B,) at `pos` (B,),
@@ -511,8 +511,8 @@ class LM(nn.Module):
     def predict(self, ys, ylens, states=None):
         return self.lm.predict(ys, ylens, states)
 
-    def init_cache(self, B: int, max_len: int):
-        return self.lm.init_cache(B, max_len)
+    def init_cache(self, B: int, max_len: int, dtype=jnp.float32):
+        return self.lm.init_cache(B, max_len, dtype)
 
     def predict_step(self, tokens, pos, caches):
         return self.lm.predict_step(tokens, pos, caches)

@@ -75,19 +75,22 @@ def make_lm_fusion(
 
     - "stateless": re-encode the full prefix each beam step.  On CPU this
       is the reference's O(prefix) bottleneck (`transformer.py:62-77`); on
-      TPU the re-encode is one large batched matmul that the MXU eats —
-      measured FASTER than the cached path at the published row sizes
-      (L3-class beam: 388 ms vs 458 ms; CTC beam T=1000: 6.3 s vs 10.1 s
-      on one v5e chip).
-    - "cached": per-layer KV caches, O(1) compute per step.  The per-step
-      beam gather moves the whole (B, W, layers, 2, max_len, H, dk) cache
-      through HBM, which dominates at these sizes; wins only for long
-      prefixes x large LMs where re-encode FLOPs outgrow gather bytes.
+      TPU the re-encode is one large batched matmul, but its FLOPs grow
+      quadratically with decode length.
+    - "cached": per-layer KV caches, O(1) compute per step, kept
+      batch-major (B, W, Lc, H, dk) so the per-step beam reindex is a
+      leading-axis gather, and length-staged by the search so early
+      steps carry short caches.
 
-    "auto" currently selects stateless (the measured default).  The
-    advance-on-extend/keep-parent semantics of the searches hold for the
-    cached mode because a kept state differs from an advanced one only by
-    the idempotent last cache write.
+    "auto" selects cached: with the batch-major + staged-length layout
+    (r3 rebuild) the cached path wins at the flagship L3-3 row on one
+    v5e chip — 273.5 ms vs 289.2 ms at B=16 and 1112 ms vs 1321 ms at
+    B=64 (tools/profile_l33.py; the r2 leading-layers layout measured
+    the OPPOSITE because it moved the whole cache through two
+    transposes per step).  The advance-on-extend/keep-parent semantics
+    of the searches hold for the cached mode because a kept state
+    differs from an advanced one only by the idempotent last cache
+    write.
     """
     lm_type = (
         lm_model.cfg.lm_type
@@ -97,7 +100,7 @@ def make_lm_fusion(
     is_rnn = lm_type == "rnn"
 
     if lm_type == "transformer" and mode == "auto":
-        mode = "stateless"
+        mode = "cached"
 
     if lm_type == "transformer" and mode == "cached":
         if max_len is None:
@@ -125,10 +128,21 @@ def make_lm_fusion(
             )
             return logp.reshape(B, W, -1), out
 
+        # caches follow the LM param dtype (bf16 decode -> bf16 caches:
+        # halves the per-step beam-gather bytes, the dominant cached cost)
+        cache_dtype = next(
+            (
+                x.dtype
+                for x in jax.tree_util.tree_leaves(lm_variables)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+            ),
+            jnp.float32,
+        )
+
         def init_states_cached(B, W, init_len=None):
             L0 = max_len if init_len is None else min(init_len, max_len)
             caches = lm_model.apply(
-                lm_variables, B * W, L0,
+                lm_variables, B * W, L0, cache_dtype,
                 method=type(lm_model).init_cache,
             )  # [(k, v)] with (B*W, L0, H, dk) leaves
             return jax.tree_util.tree_map(
