@@ -18,10 +18,12 @@ Rows (all measured on the real chip, synthetic 80-dim fbank inputs,
 - att_joint_sf_rtf_L3_3   label-sync beam + joint CTC + Transformer-LM
                           shallow fusion (flagship L3-3 mode), batch
                           swept; `fusion_mode` tags what actually ran
-                          (mode="auto" resolves to the KV-cached path,
-                          search/common.py — with r3's batch-major
-                          staged caches it measured faster than the
-                          stateless re-encode at B=16 AND B=64)
+                          (mode="auto" resolves to ancestor-INDIRECT
+                          cached fusion, search/common.py: physical-slot
+                          KV caches + a (B, W, Lc) ancestor table, no
+                          per-step cache beam gather — chip A/B in
+                          ROUND3_NOTES: 159 ms vs 202 ms gathered-cached
+                          vs 289 ms stateless at B=16)
 - rescore_rtf_bert        BERT pseudo-likelihood n-best rescoring RTF
                           (protocol: rescore/test_rescore_grid.py:120-145)
 - correct_rtf_bert        mask-and-fill error-correction RTF (protocol:
@@ -499,7 +501,8 @@ def main():
             batches=sweep_batches([16, 64]), ref_key="att_beam10_ctc_L3",
             lm=fusion, n=2,
             extra={
-                "fusion_mode": "cached (auto-selected)",
+                "fusion_mode": "indirect (auto-selected)",
+                "dec_step_mode": "indirect (auto-selected)",
                 "compute_dtype": "bfloat16",
                 "baseline_src": "measured_ref_cpu_no_sf",
                 "note": "reference baseline measured WITHOUT SF (its "

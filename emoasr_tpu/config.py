@@ -72,7 +72,7 @@ class ExpConfig:
     # "fused" the single Pallas program (ops/decoder_step_pallas.py),
     # "auto" picks fused on TPU (the step is small-op latency-bound
     # there) and dense elsewhere
-    dec_step_mode: str = "dense"  # dense | fused | auto
+    dec_step_mode: str = "auto"  # auto(=indirect) | indirect | dense | fused
     mtl_ctc_weight: float = 0.0  # aux CTC for attention / RNN-T decoders
     max_decode_ylen: int = 256  # emission cap (rnn_transducer.py:32)
 

@@ -214,11 +214,13 @@ def build_decode_fn(
                     ),
                 )
 
+            # "auto" selects the ancestor-indirect step: it removes the
+            # per-step (B, W, Lc, H, dk) cache beam gather entirely (the
+            # dominant beam-loop HBM cost; chip A/B in ROUND3_NOTES), is
+            # pure XLA, and is exact for this label-sync search
             step_mode = cfg.dec_step_mode
             if step_mode == "auto":
-                from emoasr_tpu.ops.decoder_step_pallas import _on_tpu
-
-                step_mode = "fused" if _on_tpu() else "dense"
+                step_mode = "indirect"
 
             def step_cached_fn(tokens, pos, caches):
                 return model.apply(
@@ -227,6 +229,18 @@ def build_decode_fn(
                         *a, beam_width=W, step_mode=step_mode, elens=elens
                     ),
                 )
+
+            step_indirect_fn = None
+            if step_mode == "indirect":
+                def step_indirect_fn(tokens, pos, caches, anc):
+                    return model.apply(
+                        variables, tokens, pos, caches, anc, cross_kvs,
+                        emask,
+                        method=lambda m, *a:
+                            m.decoder.decode_step_cached_indirect(
+                                *a, beam_width=W
+                            ),
+                    )
 
             ctc_lp = None
             if decode_ctc_weight > 0:
@@ -247,7 +261,11 @@ def build_decode_fn(
                 decode_ctc_weight=decode_ctc_weight,
                 ctc_log_probs=ctc_lp,
                 max_decode_ylen=cfg.max_decode_ylen,
-                cached_step=(init_cache_fn, step_cached_fn),
+                cached_step=(
+                    (init_cache_fn, step_cached_fn, step_indirect_fn)
+                    if step_indirect_fn is not None
+                    else (init_cache_fn, step_cached_fn)
+                ),
             )
 
         return _wrap(decode_att_beam)

@@ -133,6 +133,41 @@ class TransformerDecoder(nn.Module):
         logits = self.output(self.norm(h[:, 0]))
         return logits, new_caches
 
+    def decode_step_cached_indirect(
+        self, tokens, pos, caches, anc, cross_kvs, memory_mask=None,
+        beam_width=None,
+    ):
+        """`decode_step_cached` with ancestor-indirect caches.
+
+        caches: per-layer (k, v) with (Bu, W, Lc, H, dk) leaves in
+        PHYSICAL slot order; anc: (Bu, W, Lc) ancestor table shared by
+        all layers (the caller sets anc[b, w, pos] = w before the call);
+        pos: (Bu, W); tokens: (B,) flat with B = Bu*W.  The beam search
+        never gathers the caches — it composes beam permutations into
+        `anc` only (see layers.py::decode_step_indirect).
+        """
+        cfg = self.cfg
+        B = tokens.shape[0]
+        Lmax = caches[0][0].shape[2]
+        import math as _math
+
+        from emoasr_tpu.models.layers import sinusoidal_pe
+
+        emb = self.embed(tokens.astype(jnp.int32))[:, None, :]
+        pe = sinusoidal_pe(Lmax, cfg.dec_hidden_size, emb.dtype)
+        flat_pos = pos.reshape(-1)
+        h = emb * _math.sqrt(cfg.dec_hidden_size) + pe[flat_pos][:, None, :]
+
+        new_caches = []
+        for i, layer in enumerate(self.layers):
+            h, ck, cv = layer.decode_step_indirect(
+                h, caches[i][0], caches[i][1], pos, anc,
+                memory_mask, cross_kvs[i], beam_width,
+            )
+            new_caches.append((ck, cv))
+        logits = self.output(self.norm(h[:, 0]))
+        return logits, new_caches
+
     def __call__(
         self,
         eouts,

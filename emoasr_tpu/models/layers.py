@@ -403,6 +403,64 @@ class TransformerDecoderLayer(nn.Module):
         hn = self.norm3(x)
         return x + self.feed_forward(hn, True), cache_k, cache_v
 
+    def decode_step_indirect(
+        self, h, cache_k, cache_v, pos, anc, memory_mask, cross_kv,
+        beam_width,
+    ):
+        """`decode_step` with ancestor-indirect self-attention caches.
+
+        cache_k/v: (Bu, W, Lc, H, dk) in PHYSICAL slot order (never
+        beam-permuted); anc: (Bu, W, Lc) ancestor table (see
+        models/lm/bert.py::BertSelfAttention.step_indirect — same
+        scheme); pos: (Bu, W).  h: (B, 1, D) with B = Bu*W.
+
+        The beam search composes its per-step beam permutation into
+        `anc` instead of physically gathering the caches; attention
+        selects each beam's ancestor rows with a one-hot W-wide MXU
+        contraction.  Exact (one-hot selection), label-sync-only (each
+        physical column is written once, at its step).
+        """
+        B = h.shape[0]
+        W = beam_width
+        Bu = B // W
+        H, dk = self.num_heads, self.hidden_size // self.num_heads
+        Lc = cache_k.shape[2]
+
+        hn = self.norm1(h)
+        q, k, v = self.self_attn._qkv(hn, hn, hn)  # (B, 1, H, dk)
+        qb = q[:, 0].reshape(Bu, W, H, dk)
+        bidx = jnp.arange(Bu)[:, None]
+        widx = jnp.arange(W)[None, :]
+        cache_k = cache_k.at[bidx, widx, pos].set(k[:, 0].reshape(Bu, W, H, dk))
+        cache_v = cache_v.at[bidx, widx, pos].set(v[:, 0].reshape(Bu, W, H, dk))
+
+        m = (anc[:, :, None, :] == widx[0][None, None, :, None]).astype(
+            h.dtype
+        )  # (Bu, W, Wv, Lc)
+        s_all = jnp.einsum("bwhd,bvthd->bwvth", qb, cache_k) / math.sqrt(dk)
+        scores = jnp.einsum("bwvt,bwvth->bwht", m, s_all)
+        tmask = (
+            jnp.arange(Lc)[None, None, None, :] <= pos[:, :, None, None]
+        )  # (Bu, W, 1, Lc)
+        scores = jnp.where(tmask, scores, NEG_INF)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        attn = jnp.where(tmask, attn, 0.0).astype(cache_v.dtype)
+        p2 = jnp.einsum("bwht,bwvt->bwvth", attn, m)
+        out = jnp.einsum("bwvth,bvthd->bwhd", p2, cache_v).reshape(
+            B, 1, self.hidden_size
+        )
+        x = h + self.self_attn.linear_out(out)
+
+        hn = self.norm2(x)
+        hq = hn.reshape(Bu, W, hn.shape[-1])
+        hc = self.src_attn.attend_kv(
+            hq, cross_kv[0], cross_kv[1], memory_mask, True
+        ).reshape(B, 1, hn.shape[-1])
+        x = x + hc
+
+        hn = self.norm3(x)
+        return x + self.feed_forward(hn, True), cache_k, cache_v
+
     def __call__(
         self, x, tgt_mask, memory, memory_mask, deterministic: bool = True,
         cross_kv=None,

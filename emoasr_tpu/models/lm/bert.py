@@ -87,6 +87,52 @@ class BertSelfAttention(nn.Module):
         )
         return out, cache_k, cache_v
 
+    def step_indirect(self, x, cache_k, cache_v, pos, anc):
+        """`step` over beam-structured caches with ancestor indirection.
+
+        x: (B, W, D) newest-token hiddens; cache_k/v: (B, W, Lc, H, dk)
+        in PHYSICAL slot order (never beam-permuted); pos: (B, W);
+        anc: (B, W, Lc) with anc[b, w, t] = the physical slot whose
+        column t holds beam (b, w)'s token at position t (the caller
+        keeps it composed across beam reindexes and has already set
+        anc[b, w, pos] = w for this step's write).
+
+        Equivalent to gathering each beam's ancestor rows and running
+        `step`, but the gather never materializes: scores against ALL W
+        physical rows (a W-wide MXU contraction, ~W x the FLOPs of the
+        gathered dot — trivial at beam widths) are one-hot-selected by
+        `anc`.  Saves the dominant per-step HBM cost of cached beam
+        decoding: the (B, W, Lc, H, dk) read+write gather materialization
+        (measured ~810 us/step for the 4-layer fusion LM at L3-3 shapes,
+        tools/stub_lm.py, vs ~100 us of pure cache-read traffic).
+        """
+        d_k = self.hidden_size // self.num_heads
+        B, W, _ = x.shape
+        Lc = cache_k.shape[2]
+        q = self.query(x).reshape(B, W, self.num_heads, d_k)
+        k = self.key(x).reshape(B, W, self.num_heads, d_k)
+        v = self.value(x).reshape(B, W, self.num_heads, d_k)
+        bidx = jnp.arange(B)[:, None]
+        widx = jnp.arange(W)[None, :]
+        cache_k = cache_k.at[bidx, widx, pos].set(k)
+        cache_v = cache_v.at[bidx, widx, pos].set(v)
+        # one-hot ancestor selector (exact: exactly one nonzero per (w, t))
+        m = (anc[:, :, None, :] == widx[0][None, None, :, None]).astype(
+            x.dtype
+        )  # (B, W, Wv, Lc)
+        s_all = jnp.einsum("bwhd,bvthd->bwvth", q, cache_k) / jnp.sqrt(
+            jnp.asarray(d_k, x.dtype)
+        )
+        scores = jnp.einsum("bwvt,bwvth->bwht", m, s_all)
+        tmask = jnp.arange(Lc)[None, None, None, :] <= pos[:, :, None, None]
+        scores = jnp.where(tmask, scores, NEG_INF)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(x.dtype)
+        p2 = jnp.einsum("bwht,bwvt->bwvth", attn, m)
+        out = jnp.einsum("bwvth,bvthd->bwhd", p2, cache_v).reshape(
+            B, W, self.hidden_size
+        )
+        return out, cache_k, cache_v
+
 
 class BertLayer(nn.Module):
     """Post-norm: LN(x + drop(proj(attn))), LN(x + drop(out(gelu(inter))))."""
@@ -123,6 +169,15 @@ class BertLayer(nn.Module):
     def step(self, x, cache_k, cache_v, pos):
         """Incremental decode for one new position; x: (B, D)."""
         h, cache_k, cache_v = self.self_attn.step(x, cache_k, cache_v, pos)
+        h = self.attn_output(h)
+        x = self.attn_norm(x + h)
+        return self._ff(x, True), cache_k, cache_v
+
+    def step_indirect(self, x, cache_k, cache_v, pos, anc):
+        """`step` on (B, W, D) with ancestor-indirect caches."""
+        h, cache_k, cache_v = self.self_attn.step_indirect(
+            x, cache_k, cache_v, pos, anc
+        )
         h = self.attn_output(h)
         x = self.attn_norm(x + h)
         return self._ff(x, True), cache_k, cache_v
@@ -224,6 +279,18 @@ class BertStack(nn.Module):
         new_caches = []
         for i, layer in enumerate(self.layers):
             h, ck, cv = layer.step(h, caches[i][0], caches[i][1], pos)
+            new_caches.append((ck, cv))
+        return h, new_caches
+
+    def step_indirect(self, tokens, pos, caches, anc):
+        """`step` over (B, W) beams with physical-slot caches + ancestor
+        table (see BertSelfAttention.step_indirect)."""
+        h = self._embed(tokens[..., None], pos[..., None], True)[..., 0, :]
+        new_caches = []
+        for i, layer in enumerate(self.layers):
+            h, ck, cv = layer.step_indirect(
+                h, caches[i][0], caches[i][1], pos, anc
+            )
             new_caches.append((ck, cv))
         return h, new_caches
 

@@ -106,6 +106,14 @@ class TransformerLM(nn.Module):
         logits = self.head(h)
         return jax.nn.log_softmax(logits.astype(jnp.float32), -1), caches
 
+    def predict_step_indirect(self, tokens, pos, caches, anc):
+        """`predict_step` over (B, W) beams with physical-slot caches +
+        an ancestor table (no materialized beam gather; see
+        bert.py::BertSelfAttention.step_indirect)."""
+        h, caches = self.stack.step_indirect(tokens, pos, caches, anc)
+        logits = self.head(h)
+        return jax.nn.log_softmax(logits.astype(jnp.float32), -1), caches
+
     def score(self, ys, ylens):
         """Sum of next-token log-probs over positions 0..ylen-2 (B,)."""
         logits = self.logits(ys, ylens)
@@ -516,6 +524,9 @@ class LM(nn.Module):
 
     def predict_step(self, tokens, pos, caches):
         return self.lm.predict_step(tokens, pos, caches)
+
+    def predict_step_indirect(self, tokens, pos, caches, anc):
+        return self.lm.predict_step_indirect(tokens, pos, caches, anc)
 
     def score(self, ys, ylens):
         return self.lm.score(ys, ylens)

@@ -115,12 +115,24 @@ def attention_beam_search(
     stage_bounds = sorted({b for b in cand if b < Lmax}) + [Lmax]
 
     caches0 = None
+    step_indirect_fn = None
     if cached_step is not None:
-        init_cache_fn, step_cached_fn = cached_step
+        init_cache_fn, step_cached_fn = cached_step[0], cached_step[1]
+        if len(cached_step) > 2:
+            step_indirect_fn = cached_step[2]
         caches0 = jax.tree_util.tree_map(
             lambda x: x.reshape((B, W) + x.shape[1:]),
             init_cache_fn(B * W, stage_bounds[0]),
         )
+        if step_indirect_fn is not None:
+            # ancestor-indirect caches: physical slot order + (B, W, Lc)
+            # ancestor table; beam permutations compose into the table
+            # instead of gathering the caches (label-sync-safe — each
+            # column is written once, at its step)
+            caches0 = {
+                "caches": caches0,
+                "anc": jnp.zeros((B, W, stage_bounds[0]), jnp.int32),
+            }
 
     state = _State(
         step=jnp.int32(0),
@@ -136,7 +148,9 @@ def attention_beam_search(
             else None
         ),
         lm_states=(
-            lm.init_states(B, W, stage_bounds[0])
+            lm.indirect.init_states(B, W, stage_bounds[0])
+            if lm is not None and lm.indirect is not None
+            else lm.init_states(B, W, stage_bounds[0])
             if lm is not None and lm.state_pad_axis is not None
             else lm.init_states(B, W) if lm is not None
             else None
@@ -171,7 +185,21 @@ def attention_beam_search(
 
         flat_hyps = state.hyps.reshape(B * W, Lmax)
         flat_lens = jnp.maximum(state.lens.reshape(B * W), 1)
-        if cached_step is not None:
+        if step_indirect_fn is not None:
+            last_tok = jnp.take_along_axis(
+                flat_hyps, (flat_lens - 1)[:, None], axis=1
+            )[:, 0]
+            posb = jnp.minimum(
+                jnp.maximum(state.lens, 1) - 1, Lc - 1
+            ).astype(jnp.int32)
+            anc = state.caches["anc"].at[b_idx, w_idx, posb].set(
+                jnp.broadcast_to(w_idx, (B, W))
+            )
+            logits, new_inner = step_indirect_fn(
+                last_tok, posb, state.caches["caches"], anc
+            )
+            new_caches = {"caches": new_inner, "anc": anc}
+        elif cached_step is not None:
             last_tok = jnp.take_along_axis(
                 flat_hyps, (flat_lens - 1)[:, None], axis=1
             )[:, 0]
@@ -197,7 +225,12 @@ def attention_beam_search(
         ).reshape(B, W, V)
 
         if lm is not None:
-            lm_logp, new_lm_states = lm.predict_beams(
+            lm_predict = (
+                lm.indirect.predict_beams
+                if lm.indirect is not None
+                else lm.predict_beams
+            )
+            lm_logp, new_lm_states = lm_predict(
                 state.hyps[:, :, :Lc], state.lens, state.lm_states
             )
             lm_logp = lm_logp[:, :, :V]
@@ -265,7 +298,11 @@ def attention_beam_search(
             )
 
         new_lm_states_sel = (
-            gather_beams(new_lm_states, parent) if lm is not None else None
+            lm.indirect.gather_states(new_lm_states, parent)
+            if lm is not None and lm.indirect is not None
+            else gather_beams(new_lm_states, parent)
+            if lm is not None
+            else None
         )
 
         valid_new = top_sc > DEAD / 2
@@ -310,7 +347,14 @@ def attention_beam_search(
             hyps=new_hyps,
             lens=new_lens,
             caches=(
-                gather_beams(new_caches, parent)
+                {
+                    "caches": new_caches["caches"],
+                    "anc": jnp.take_along_axis(
+                        new_caches["anc"], parent[:, :, None], axis=1
+                    ),
+                }
+                if step_indirect_fn is not None
+                else gather_beams(new_caches, parent)
                 if cached_step is not None else None
             ),
             scores=cont_scores,

@@ -39,6 +39,31 @@ def hash_extend(h: Tuple[jnp.ndarray, jnp.ndarray], token: jnp.ndarray):
     return (h[0] * HASH_P1 + t + 1, (h[1] ^ (t + 1)) * HASH_P2)
 
 
+class IndirectLM(NamedTuple):
+    """Ancestor-indirect cached fusion for LABEL-SYNCHRONOUS searches.
+
+    The standard cached mode beam-gathers the whole KV cache every step
+    (the dominant cached-fusion cost, tools/stub_lm.py).  This protocol
+    instead keeps caches in physical slot order and carries a tiny
+    (B, W, Lc) ancestor table that the LM resolves inside attention as a
+    one-hot MXU contraction (bert.py::step_indirect) — the search
+    beam-gathers only the table.
+
+    Sound ONLY for label-sync searches (attention_beam): every slot
+    writes cache column t exactly once, at step t, so physical columns
+    are never clobbered across steps.  Searches with per-beam hyp
+    lengths (CTC prefix beam, RNN-T) must use the standard fields.
+
+    predict_beams(hyps (B,W,L), lens (B,W), states) -> (logp, states)
+    init_states(B, W, init_len=None) -> {"caches": [...], "anc": ...}
+    gather_states(states, parent (B,W)) -> states (gathers `anc` only)
+    """
+
+    predict_beams: Callable
+    init_states: Callable
+    gather_states: Callable
+
+
 class LMFusion(NamedTuple):
     """Adapter bundling an LM for in-loop shallow fusion over (B, W) beams.
 
@@ -52,6 +77,10 @@ class LMFusion(NamedTuple):
     the states at its first stage bound and zero-pads that axis at stage
     transitions (capped at state_max_len), so per-step state traffic
     tracks the prefix length.
+
+    `indirect`: optional IndirectLM protocol; a label-sync search uses
+    it in place of the standard fields when present (other searches
+    ignore it).
     """
 
     predict_beams: Callable
@@ -59,6 +88,7 @@ class LMFusion(NamedTuple):
     weight: float
     state_pad_axis: Optional[int] = None
     state_max_len: Optional[int] = None
+    indirect: Optional[IndirectLM] = None
 
 
 def make_lm_fusion(
@@ -91,6 +121,12 @@ def make_lm_fusion(
     of the searches hold for the cached mode because a kept state
     differs from an advanced one only by the idempotent last cache
     write.
+
+    "indirect" (and "auto") additionally attaches the IndirectLM
+    protocol: label-sync searches then skip the per-step cache beam
+    gather entirely (ancestor table + one-hot selection inside
+    attention); non-label-sync searches fall back to this mode's
+    standard cached fields.
     """
     lm_type = (
         lm_model.cfg.lm_type
@@ -100,9 +136,9 @@ def make_lm_fusion(
     is_rnn = lm_type == "rnn"
 
     if lm_type == "transformer" and mode == "auto":
-        mode = "cached"
+        mode = "indirect"
 
-    if lm_type == "transformer" and mode == "cached":
+    if lm_type == "transformer" and mode in ("cached", "indirect"):
         if max_len is None:
             max_len = lm_model.cfg.max_seq_len
 
@@ -149,9 +185,56 @@ def make_lm_fusion(
                 lambda x: x.reshape((B, W) + x.shape[1:]), caches
             )
 
+        indirect = None
+        if mode == "indirect":
+
+            def predict_beams_ind(hyps, lens, states):
+                B, W, _ = hyps.shape
+                caches, anc = states["caches"], states["anc"]
+                Lc = anc.shape[2]
+                pos = jnp.minimum(
+                    jnp.maximum(lens - 1, 0), Lc - 1
+                ).astype(jnp.int32)
+                tokens = jnp.take_along_axis(
+                    hyps, pos[:, :, None], axis=2
+                )[..., 0]
+                bidx = jnp.arange(B)[:, None]
+                widx = jnp.arange(W)[None, :]
+                # this step's column is ours: anc[b, w, pos] = w
+                anc = anc.at[bidx, widx, pos].set(
+                    jnp.broadcast_to(widx, (B, W))
+                )
+                logp, caches = lm_model.apply(
+                    lm_variables, tokens, pos, caches, anc,
+                    method=type(lm_model).predict_step_indirect,
+                )
+                return logp, {"caches": caches, "anc": anc}
+
+            def init_states_ind(B, W, init_len=None):
+                st = init_states_cached(B, W, init_len)
+                L0 = jax.tree_util.tree_leaves(st)[0].shape[2]
+                return {
+                    "caches": st,
+                    "anc": jnp.zeros((B, W, L0), jnp.int32),
+                }
+
+            def gather_states_ind(states, parent):
+                # compose the beam permutation into the ancestor table;
+                # the caches stay in physical slot order
+                return {
+                    "caches": states["caches"],
+                    "anc": jnp.take_along_axis(
+                        states["anc"], parent[:, :, None], axis=1
+                    ),
+                }
+
+            indirect = IndirectLM(
+                predict_beams_ind, init_states_ind, gather_states_ind
+            )
+
         return LMFusion(
             predict_beams_cached, init_states_cached, weight,
-            state_pad_axis=2, state_max_len=max_len,
+            state_pad_axis=2, state_max_len=max_len, indirect=indirect,
         )
 
     def predict_beams(hyps, lens, states):

@@ -278,6 +278,70 @@ def test_ctc_beam_cached_transformer_fusion_matches_stateless():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_predict_step_indirect_matches_gathered_cached():
+    """Ancestor-indirect LM steps == gather-then-predict_step, over a
+    random label-sync episode (every slot extends each step, random
+    parent permutations between steps)."""
+    from emoasr_tpu.models.lm.lm import TransformerLM
+    from emoasr_tpu.search.common import gather_beams
+
+    B, W, Lc, V = 2, 4, 9, 12
+    cfg = config_from_dict(
+        dict(lm_type="transformer", vocab_size=V, hidden_size=16,
+             num_layers=2, num_attention_heads=2, intermediate_size=32,
+             max_seq_len=32, dropout_rate=0.0)
+    )
+    lm = TransformerLM(cfg)
+    lvars = lm.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 2), jnp.int32), jnp.asarray([2])
+    )
+    rng = np.random.default_rng(11)
+
+    flat0 = lm.apply(lvars, B * W, Lc, method=TransformerLM.init_cache)
+    # gathered-reference carry: (B, W, ...) caches, physically permuted
+    ref = jax.tree_util.tree_map(
+        lambda x: x.reshape((B, W) + x.shape[1:]), flat0
+    )
+    # indirect carry: physical caches + ancestor table
+    ind = jax.tree_util.tree_map(
+        lambda x: x.reshape((B, W) + x.shape[1:]), flat0
+    )
+    anc = jnp.zeros((B, W, Lc), jnp.int32)
+    bidx = jnp.arange(B)[:, None]
+    widx = jnp.arange(W)[None, :]
+
+    for step in range(Lc - 1):
+        if step > 0:  # beam reindex between steps
+            parent = jnp.asarray(rng.integers(0, W, size=(B, W)), jnp.int32)
+            ref = gather_beams(ref, parent)
+            anc = jnp.take_along_axis(anc, parent[:, :, None], axis=1)
+        tokens = jnp.asarray(rng.integers(3, V, size=(B, W)), jnp.int32)
+        pos = jnp.full((B, W), step, jnp.int32)
+
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((B * W,) + x.shape[2:]), ref
+        )
+        logp_ref, flat = lm.apply(
+            lvars, tokens.reshape(-1), pos.reshape(-1), flat,
+            method=TransformerLM.predict_step,
+        )
+        ref = jax.tree_util.tree_map(
+            lambda x: x.reshape((B, W) + x.shape[1:]), flat
+        )
+
+        anc = anc.at[bidx, widx, pos].set(jnp.broadcast_to(widx, (B, W)))
+        logp_ind, ind = lm.apply(
+            lvars, tokens, pos, ind, anc,
+            method=TransformerLM.predict_step_indirect,
+        )
+        np.testing.assert_allclose(
+            np.asarray(logp_ind).reshape(B * W, V),
+            np.asarray(logp_ref),
+            atol=2e-5, rtol=2e-5,
+            err_msg=f"step {step}",
+        )
+
+
 def test_attention_beam_cached_transformer_fusion_matches_stateless():
     from emoasr_tpu.config import config_from_dict as cfd
     from emoasr_tpu.models.decoders.transformer import TransformerDecoder
@@ -323,17 +387,22 @@ def test_attention_beam_cached_transformer_fusion_matches_stateless():
     outs = {}
     for name, fusion in (
         ("cached", make_lm_fusion(lm, lvars, weight=0.4, mode="cached")),
+        ("indirect", make_lm_fusion(lm, lvars, weight=0.4, mode="indirect")),
         ("stateless", _stateless_transformer_fusion(lm, lvars, weight=0.4)),
     ):
         outs[name] = attention_beam_search(
             eouts, elens, step_fn, vocab_size=V, beam_width=W_, eos_id=2,
             blank_id=0, len_weight=0.1, lm=fusion, max_decode_ylen=8,
         )
-    for a, b, name in zip(outs["cached"], outs["stateless"],
-                          ("hyps", "lens", "scores")):
-        if name == "scores":
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
-            )
-        else:
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for variant in ("cached", "indirect"):
+        for a, b, name in zip(outs[variant], outs["stateless"],
+                              ("hyps", "lens", "scores")):
+            if name == "scores":
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4,
+                    err_msg=variant,
+                )
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b), err_msg=variant
+                )

@@ -130,7 +130,7 @@ def test_attention_beam_fused_matches_dense():
         jnp.ones((B, 5), jnp.int32),
     )
     outs = {}
-    for mode in ("dense", "fused"):
+    for mode in ("dense", "fused", "indirect"):
         cfg = config_from_dict(dict(base, dec_step_mode=mode))
         dec = build_decode_fn(
             ASR(cfg), variables, cfg, beam_width=4, len_weight=0.5,
@@ -138,9 +138,15 @@ def test_attention_beam_fused_matches_dense():
         )
         outs[mode] = dec(xs, xlens)
     hyps_d, lens_d, scores_d = outs["dense"]
-    hyps_f, lens_f, scores_f = outs["fused"]
-    np.testing.assert_array_equal(np.asarray(lens_d), np.asarray(lens_f))
-    np.testing.assert_array_equal(np.asarray(hyps_d), np.asarray(hyps_f))
-    np.testing.assert_allclose(
-        np.asarray(scores_d), np.asarray(scores_f), rtol=1e-4, atol=1e-4
-    )
+    for mode in ("fused", "indirect"):
+        hyps_f, lens_f, scores_f = outs[mode]
+        np.testing.assert_array_equal(
+            np.asarray(lens_d), np.asarray(lens_f), err_msg=mode
+        )
+        np.testing.assert_array_equal(
+            np.asarray(hyps_d), np.asarray(hyps_f), err_msg=mode
+        )
+        np.testing.assert_allclose(
+            np.asarray(scores_d), np.asarray(scores_f), rtol=1e-4,
+            atol=1e-4, err_msg=mode,
+        )

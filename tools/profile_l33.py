@@ -127,6 +127,9 @@ def main():
         "full_cached": (
             {"len_weight": 2.0, "decode_ctc_weight": 0.3}, "cached"
         ),
+        "full_ind": (
+            {"len_weight": 2.0, "decode_ctc_weight": 0.3}, "indirect"
+        ),
     }
     runs = {}
     if "encode" in want:
