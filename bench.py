@@ -118,10 +118,18 @@ def emit(row):
     print(json.dumps(row), flush=True)
 
 
+ONLY = {
+    m for m in os.environ.get("BENCH_ONLY", "").split(",") if m
+}  # e.g. BENCH_ONLY=t5_train_step_bf16,rnnt_beam10_rtf_T5 re-measures
+# single rows without the full-scoreboard run (driver runs everything)
+
+
 def guard(name, fn):
     """Fault isolation per scoreboard row: report the failure as a row
     and keep going so one transport flake cannot lose every later row
     (the driver's end-of-round run gets whatever succeeded)."""
+    if ONLY and name not in ONLY:
+        return None
     try:
         return fn()
     except Exception as e:  # noqa: BLE001 — the whole point is isolation

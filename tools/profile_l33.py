@@ -164,8 +164,18 @@ def main():
               flush=True)
         runs[name] = lambda c=c: c(xs, xlens)
 
+    def sync(out):
+        # fetch ONE element, not the whole leading output: the encode
+        # variant's eouts is ~4 MB and fetching it charges tunnel
+        # BANDWIDTH to the variant (the subtracted floor only covers a
+        # scalar fetch's RTT) — that bulk fetch once mis-attributed
+        # ~33 ms to "encode" (40.2 ms reported vs ~7 ms real, see
+        # tools/ablate_conformer.py)
+        a = out[0]
+        return np.asarray(a[(0,) * a.ndim])
+
     for n in runs:
-        np.asarray(runs[n]()[0])
+        sync(runs[n]())
     # one-fetch transport floor (every np.asarray pays the tunnel RTT)
     ftriv = jax.jit(lambda l: l[0] * 1).lower(xlens).compile()
     np.asarray(ftriv(xlens))
@@ -181,11 +191,11 @@ def main():
     for _ in range(args.reps):
         for n in runs:
             out = runs[n]()
-            np.asarray(out[0])
+            sync(out)
             t0 = time.perf_counter()
             for _ in range(PIPE):
                 out = runs[n]()
-            np.asarray(out[0])
+            sync(out)
             times[n].append((time.perf_counter() - t0 - rtt) / PIPE)
     audio_s = B * T * 0.01
     print(f"\n| variant | median ms | RTF (B={B}) |")
