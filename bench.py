@@ -75,6 +75,40 @@ FRAME_SHIFT_S = 0.010
 
 SMOKE = bool(os.environ.get("BENCH_SMOKE"))
 
+# Durable scoreboard (r4, VERDICT r3 #3): the driver's BENCH_r{N}.json
+# capture is tail-truncated — it kept only the last few stdout lines of
+# the r3 run and lost the train-step rows.  Every emit() therefore also
+# rewrites BENCH_SELF_r{N}.json in-repo (full rows, crash-safe rewrite
+# per row), so results can always be read back from a committed
+# artifact.  Smoke runs divert to /tmp so CPU validation passes can
+# never clobber the real-chip scoreboard.
+BENCH_ROUND = os.environ.get("BENCH_ROUND", "04")
+SELF_PATH = os.environ.get(
+    "BENCH_SELF_PATH",
+    os.path.join(
+        "/tmp" if SMOKE else os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_SELF_r{BENCH_ROUND}.json",
+    ),
+)
+_self_rows = []
+
+# Best prior value per metric across all previous rounds, with the
+# improvement direction, so every row self-reports vs_best_prior
+# (>1 = better than any previous round).  Sources: BENCH_r03.json tail,
+# ROUND3_NOTES.md mid-round table (the r3 driver capture truncated the
+# early rows), BENCH_r02.json.
+BEST_PRIOR = {  # metric: (best_value, higher_is_better)
+    "l1_train_step_bf16": (54.78, True),      # ROUND3_NOTES mid-round
+    "t5_train_step_bf16": (40.18, True),      # ROUND3_NOTES mid-round
+    "ctc_beam8_rtf_L1": (7.9e-05, False),     # ROUND3_NOTES (f32, B=128)
+    "rnnt_greedy_rtf_T5": (7.7e-05, False),   # ROUND3_NOTES (f32, B=128)
+    "rnnt_beam10_rtf_T5": (4.15e-04, False),  # ROUND3_NOTES (f32, B=16)
+    "att_joint_sf_rtf_L3_3": (7.5e-04, False),  # BENCH_r03 (bf16, B=64)
+    "rescore_rtf_bert": (1.225e-03, False),   # BENCH_r03
+    "correct_rtf_bert": (1.26e-03, False),    # ROUND3_NOTES mid-round
+    "ctc_greedy_batched_rtf_L1": (2.0e-05, False),  # BENCH_r03
+}
+
 # published reference CPU RTFs (asr/correct/README.md:55-58)
 REF_PUBLISHED_CTC_GREEDY = 0.0033
 REF_PUBLISHED_CORRECT = 0.0094
@@ -115,7 +149,23 @@ def device_peak_tflops(dev) -> tuple:
 
 
 def emit(row):
+    prior = BEST_PRIOR.get(row.get("metric"))
+    if prior and isinstance(row.get("value"), (int, float)) and row["value"]:
+        best, higher_better = prior
+        row.setdefault("best_prior", best)
+        row.setdefault(
+            "vs_best_prior",
+            round(
+                (row["value"] / best) if higher_better
+                else (best / row["value"]),
+                3,
+            ),
+        )
     print(json.dumps(row), flush=True)
+    _self_rows.append(row)
+    with open(SELF_PATH, "w") as f:  # full rewrite per row: crash-safe
+        for r in _self_rows:
+            f.write(json.dumps(r) + "\n")
 
 
 ONLY = {

@@ -186,25 +186,39 @@ def ctc_ll_from_path(lp_path, allow2f, initf, finalf, xlens):
     return ll
 
 
+def _batch_block(T: int, Sp: int, n_big: int, B: int) -> int:
+    """Largest multiple-of-8 batch block whose `n_big` (T, Bb, Sp) f32
+    VMEM buffers fit a conservative scoped-VMEM budget.  One whole-batch
+    program OOMs at production shapes (B=128, T=249, Sp=128: the lattice
+    alone is 16.3 MB vs the 16 MB scope), so the lattice grids over
+    independent batch blocks."""
+    budget = 10 * 1024 * 1024
+    bb = budget // (T * Sp * 4 * n_big)
+    bb = max(8, (bb // 8) * 8)
+    return min(B + ((-B) % 8), bb)
+
+
 def _run_alpha(lp_path, allow2f, initf, xlens):
     T, B, S = lp_path.shape
     Sp = S + ((-S) % 128)
-    Bp = B + ((-B) % 8)
+    Bb = _batch_block(T, Sp, 2, B)
+    Bp = B + ((-B) % Bb)
     lp = _pad_lanes(lp_path, 128, LOG_0)
-    lp = _pad_rows(lp, 1, 8, LOG_0)
-    a2 = _pad_rows(_pad_lanes(allow2f, 128, 0.0), 0, 8, 0.0)
-    ini = _pad_rows(_pad_lanes(initf, 128, 0.0), 0, 8, 0.0)
-    xl = _pad_rows(xlens[:, None].astype(jnp.int32), 0, 8, 1)
+    lp = _pad_rows(lp, 1, Bb, LOG_0)
+    a2 = _pad_rows(_pad_lanes(allow2f, 128, 0.0), 0, Bb, 0.0)
+    ini = _pad_rows(_pad_lanes(initf, 128, 0.0), 0, Bb, 0.0)
+    xl = _pad_rows(xlens[:, None].astype(jnp.int32), 0, Bb, 1)
 
     alpha = pl.pallas_call(
         functools.partial(_alpha_kernel, T=T),
+        grid=(Bp // Bb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, Bb, Sp), lambda i: (0, i, 0)),
+            pl.BlockSpec((Bb, Sp), lambda i: (i, 0)),
+            pl.BlockSpec((Bb, Sp), lambda i: (i, 0)),
+            pl.BlockSpec((Bb, 1), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((T, Bb, Sp), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((T, Bp, Sp), jnp.float32),
         interpret=not _on_tpu(),
     )(lp.astype(jnp.float32), a2, ini, xl)
@@ -223,21 +237,34 @@ def _ctc_fwd(lp_path, allow2f, initf, finalf, xlens):
 def _ctc_bwd(res, g):
     lp_path, allow2f, initf, finalf, xlens, alpha, ll = res
     T, B, S = lp_path.shape
-    Bp, Sp = alpha.shape[1], alpha.shape[2]
-    lp = _pad_rows(_pad_lanes(lp_path, 128, LOG_0), 1, 8, LOG_0)
-    a2 = _pad_rows(_pad_lanes(allow2f, 128, 0.0), 0, 8, 0.0)
-    fin = _pad_rows(_pad_lanes(finalf, 128, 0.0), 0, 8, 0.0)
-    xl = _pad_rows(xlens[:, None].astype(jnp.int32), 0, 8, 1)
+    Sp = alpha.shape[2]
+    # 3 big buffers per block here (lp, alpha, grad) vs fwd's 2, so the
+    # bwd block can be smaller than the fwd's; re-pad alpha to match
+    Bb = _batch_block(T, Sp, 3, B)
+    Bp = B + ((-B) % Bb)
+    alpha = _pad_rows(alpha[:, :B], 1, Bb, LOG_0)
+    lp = _pad_rows(_pad_lanes(lp_path, 128, LOG_0), 1, Bb, LOG_0)
+    a2 = _pad_rows(_pad_lanes(allow2f, 128, 0.0), 0, Bb, 0.0)
+    fin = _pad_rows(_pad_lanes(finalf, 128, 0.0), 0, Bb, 0.0)
+    xl = _pad_rows(xlens[:, None].astype(jnp.int32), 0, Bb, 1)
     # rows with ll == LOG_0-ish (infeasible) must emit zero grad: exp of
     # (finite alpha + beta - LOG_0) would overflow, so clamp g to 0 there
     g_safe = jnp.where(ll < LOG_0 / 2, 0.0, g)
     ll_g = jnp.stack([ll, g_safe], axis=1).astype(jnp.float32)
-    ll_g = _pad_rows(ll_g, 0, 8, 0.0)
+    ll_g = _pad_rows(ll_g, 0, Bb, 0.0)
 
     grad = pl.pallas_call(
         functools.partial(_beta_grad_kernel, T=T),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(Bp // Bb,),
+        in_specs=[
+            pl.BlockSpec((T, Bb, Sp), lambda i: (0, i, 0)),
+            pl.BlockSpec((Bb, Sp), lambda i: (i, 0)),
+            pl.BlockSpec((Bb, Sp), lambda i: (i, 0)),
+            pl.BlockSpec((Bb, 1), lambda i: (i, 0)),
+            pl.BlockSpec((T, Bb, Sp), lambda i: (0, i, 0)),
+            pl.BlockSpec((Bb, 2), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((T, Bb, Sp), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((T, Bp, Sp), jnp.float32),
         interpret=not _on_tpu(),
     )(lp.astype(jnp.float32), a2, fin, xl, alpha, ll_g)

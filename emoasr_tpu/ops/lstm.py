@@ -24,6 +24,25 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+# Pallas dispatch: None = auto (fused kernel on TPU when the sequence is
+# long enough to beat the launch overhead), True/False = forced.  The
+# scan path stays the oracle; parity is pinned in tests/test_lstm_pallas.py.
+USE_PALLAS = None
+_PALLAS_MIN_STEPS = 8
+
+
+def _pallas_wanted(T: int) -> bool:
+    if USE_PALLAS is not None:
+        return bool(USE_PALLAS)
+    if T < _PALLAS_MIN_STEPS:
+        return False  # single-step decode calls: launch overhead loses
+    dev = jax.devices()[0]
+    return (
+        "tpu" in dev.platform.lower()
+        or "tpu" in getattr(dev, "device_kind", "").lower()
+    )
+
+
 def lstm_scan(
     x_proj: jnp.ndarray,
     w_hh: jnp.ndarray,
@@ -34,7 +53,15 @@ def lstm_scan(
 
     x_proj: (B, T, 4H) = x @ W_ih^T + b_ih + b_hh
     w_hh: (4H, H) torch layout.  Returns (B, T, H) outputs + final (h, c).
+
+    On TPU the whole recurrence runs as one fused Pallas program
+    (ops/lstm_pallas.py) — the per-step `lax.scan` dispatch otherwise
+    dominates the transducer prediction-net cost (tools/profile_t5.py).
     """
+    if _pallas_wanted(x_proj.shape[1]):
+        from emoasr_tpu.ops.lstm_pallas import lstm_scan_pallas
+
+        return lstm_scan_pallas(x_proj, w_hh, h0, c0)
     H = h0.shape[-1]
     w_hh_t = w_hh.T  # (H, 4H)
 
