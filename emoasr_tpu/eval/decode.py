@@ -273,10 +273,14 @@ def build_decode_fn(
     if dec_type == "las":
         def decode_las_beam(variables, weights, xs, xlens):
             eouts, elens, _ = encode(variables, xs, xlens)
+            lm_t = (
+                lm._replace(weight=weights["lm_weight"])
+                if lm is not None else None
+            )
             return model.apply(
                 variables, eouts, elens, beam_width, weights["len_weight"],
                 method=lambda m, e, el, w, lw: m.decoder.decode_beam(
-                    e, el, w, lw
+                    e, el, w, lw, lm=lm_t
                 ),
             )
 

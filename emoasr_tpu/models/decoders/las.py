@@ -262,9 +262,11 @@ class LASDecoder(nn.Module):
         (c, t, d, hyps, n), _ = jax.lax.scan(body, init, None, length=L)
         return hyps, n
 
-    def decode_beam(self, eouts, elens, beam_width, len_weight=0.0):
+    def decode_beam(self, eouts, elens, beam_width, len_weight=0.0,
+                    lm=None):
         """Batched beam search (las.py:176-285; reference is bs=1 host
-        Python with stubbed LM/CTC fusion — attention scores only).
+        Python with stubbed LM/CTC fusion — attention scores only; the
+        `lm` hook here implements the stub first-class via LMFusion).
 
         Returns (hyps (B, W, Lmax) with eos framing, lens, scores)."""
         from emoasr_tpu.search.las_beam import las_beam_search
@@ -284,6 +286,7 @@ class LASDecoder(nn.Module):
             eos_id=cfg.eos_id,
             len_weight=len_weight,
             max_decode_ylen=cfg.max_decode_ylen,
+            lm=lm,
         )
 
     def __call__(

@@ -32,6 +32,11 @@ _PALLAS_MIN_STEPS = 8
 
 
 def _pallas_wanted(T: int) -> bool:
+    import os
+
+    env = os.environ.get("EMOASR_LSTM_PALLAS")
+    if env is not None:  # measurement override (tools/bench_lstm.py A/Bs)
+        return env not in ("0", "false", "off")
     if USE_PALLAS is not None:
         return bool(USE_PALLAS)
     if T < _PALLAS_MIN_STEPS:

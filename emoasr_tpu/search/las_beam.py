@@ -37,6 +37,7 @@ class _State(NamedTuple):
     res_lens: jnp.ndarray
     res_scores: jnp.ndarray
     res_count: jnp.ndarray  # (B,)
+    lm_states: tuple = ()  # LM fusion states, (B, W, ...) leaves (or ())
 
 
 def las_beam_search(
@@ -48,15 +49,24 @@ def las_beam_search(
     eos_id: int = 2,
     len_weight: float = 0.0,
     max_decode_ylen: int = 256,
+    lm=None,
 ):
     """Beam search over a batch with a recurrent one-step decoder.
 
     step_fn(carry_flat, tokens (B*W,)) -> (carry_flat, log_probs (B*W, V));
     carry0 leaves are (B*W, ...) (caller tiles the encoder side W times).
     Returns (hyps (B, W, Lmax) with eos framing, lens, scores) best-first.
+
+    `lm`: optional LMFusion (search/common.py) for in-loop shallow fusion
+    — candidate scores become att_logp + lm.weight * lm_logp, same
+    semantics as the attention beam.  The reference stubs these hooks
+    (`asr/modeling/decoders/las.py:233-236` is a literal `pass`); this
+    implements them first-class.  LM states are beam-gathered on pruning
+    like the decoder carry (advance-on-extend, keep-parent).
     """
     B, W, V = batch_size, beam_width, vocab_size
     Lmax = max_decode_ylen + 2
+    lm_weight = lm.weight if lm is not None else 0.0
 
     hyps0 = jnp.full((B, W, Lmax), eos_id, jnp.int32)
     state = _State(
@@ -72,6 +82,7 @@ def las_beam_search(
         res_lens=jnp.zeros((B, W), jnp.int32),
         res_scores=jnp.full((B, W), DEAD, jnp.float32),
         res_count=jnp.zeros((B,), jnp.int32),
+        lm_states=(lm.init_states(B, W) if lm is not None else ()),
     )
 
     b_idx = jnp.arange(B)[:, None]
@@ -100,7 +111,18 @@ def las_beam_search(
         )
         scores_att = logp.astype(jnp.float32).reshape(B, W, V)
 
-        sel_sc, sel_tok = topk_lastdim(scores_att, W)  # (B, W, W)
+        if lm is not None:
+            lm_logp, new_lm_states = lm.predict_beams(
+                state.hyps, state.lens, state.lm_states
+            )
+            scores_cand = scores_att + lm_weight * lm_logp.astype(
+                jnp.float32
+            )
+        else:
+            new_lm_states = state.lm_states
+            scores_cand = scores_att
+
+        sel_sc, sel_tok = topk_lastdim(scores_cand, W)  # (B, W, W)
         pool_sc = jnp.where(
             alive[:, :, None], state.scores[:, :, None] + sel_sc, DEAD
         ).reshape(B, W * W)
@@ -113,6 +135,8 @@ def las_beam_search(
         pos = jnp.minimum(new_lens - 1, Lmax - 1)
         new_hyps = new_hyps.at[b_idx, w_idx, pos].set(tok)
         new_carry = gather_beams(new_carry, parent)
+        if lm is not None:
+            new_lm_states = gather_beams(new_lm_states, parent)
 
         valid_new = top_sc > DEAD / 2
         ended = (tok == eos_id) & valid_new
@@ -156,6 +180,7 @@ def las_beam_search(
             res_lens=res_lens,
             res_scores=res_scores,
             res_count=res_count,
+            lm_states=new_lm_states,
         )
 
         # freeze finished batch rows

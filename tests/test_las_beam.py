@@ -140,6 +140,121 @@ def test_las_beam_matches_reference_oracle(las, len_weight):
             np.testing.assert_allclose(g["score"], r["score"], rtol=1e-4)
 
 
+def _oracle_lm(dec, variables, eouts_row, elen_row, fusion, V, W, eos,
+               len_weight, L):
+    """Reference beam loop with the LM hook implemented the way the
+    reference sketches it (las.py:233-236 stub): candidate score =
+    att_logp + lm_weight * lm_logp, LM state advance-on-extend."""
+    step, carry0 = _single_row_step(dec, variables, eouts_row, elen_row)
+    st0 = fusion.init_states(1, 1)
+    beams = [dict(hyp=[eos], score=0.0, carry=carry0, lm=st0)]
+    results = []
+    for _ in range(L):
+        new_beams = []
+        for beam in beams:
+            carry, logp = step(
+                beam["carry"], jnp.asarray([beam["hyp"][-1]], jnp.int32)
+            )
+            lp = np.asarray(logp, np.float32)[0]
+            hyp_arr = jnp.asarray(beam["hyp"], jnp.int32)[None, None, :]
+            lens_arr = jnp.asarray([[len(beam["hyp"])]], jnp.int32)
+            lm_lp, lm_st = fusion.predict_beams(hyp_arr, lens_arr, beam["lm"])
+            lp = lp + float(fusion.weight) * np.asarray(
+                lm_lp, np.float32
+            )[0, 0]
+            for v in np.argsort(-lp)[:W]:
+                new_beams.append(
+                    dict(
+                        score=beam["score"] + float(lp[v]),
+                        hyp=beam["hyp"] + [int(v)],
+                        carry=carry,
+                        lm=lm_st,
+                    )
+                )
+        beams = sorted(new_beams, key=lambda x: -x["score"])[:W]
+        beams_extend = []
+        for beam in beams:
+            if beam["hyp"][-1] == eos:
+                noeos = [t for t in beam["hyp"] if t != eos]
+                if len(noeos) < 1:
+                    continue
+                results.append(
+                    dict(
+                        hyp=noeos,
+                        score=beam["score"] + len_weight * len(beam["hyp"]),
+                    )
+                )
+                if len(results) >= W:
+                    break
+            else:
+                beams_extend.append(beam)
+        if len(results) >= W:
+            break
+        beams = beams_extend
+    return sorted(results, key=lambda x: -x["score"])
+
+
+@pytest.mark.parametrize("lm_type", ["transformer", "rnn"])
+def test_las_beam_lm_fusion_matches_oracle(las, lm_type):
+    """LM shallow fusion inside the LAS beam (the reference's stubbed
+    hook, las.py:233-236, implemented first-class) vs the per-hyp oracle
+    sharing the same fusion numerics."""
+    from emoasr_tpu.models.lm.lm import LM as LMFacade
+    from emoasr_tpu.search.common import make_lm_fusion
+
+    cfg, dec, variables, eouts, elens = las
+    lm_cfg = config_from_dict(
+        dict(
+            lm_type=lm_type, vocab_size=cfg.vocab_size, hidden_size=16,
+            num_layers=1, num_attention_heads=2, intermediate_size=32,
+            max_seq_len=16, dropout_rate=0.0, embedding_size=16,
+        )
+    )
+    lmf = LMFacade(lm_cfg)
+    lvars = lmf.init(
+        jax.random.PRNGKey(5), jnp.zeros((1, 3), jnp.int32),
+        jnp.asarray([3]),
+    )
+    fusion = make_lm_fusion(
+        lmf, lvars, 0.4, max_len=16,
+        mode="stateless" if lm_type == "transformer" else "auto",
+    )
+    # the LAS search uses the standard (non-indirect) LMFusion protocol
+    fusion = fusion._replace(indirect=None)
+    W, len_weight = 3, 0.2
+
+    hyps, lens, scores = jax.jit(
+        lambda v, e, el: dec.apply(
+            v, e, el,
+            method=lambda m, e2, el2: m.decode_beam(
+                e2, el2, W, len_weight, lm=fusion
+            ),
+        )
+    )(variables, eouts, elens)
+    hyps, lens, scores = map(np.asarray, (hyps, lens, scores))
+
+    for b in range(eouts.shape[0]):
+        ref = _oracle_lm(
+            dec, variables, eouts[b : b + 1], elens[b : b + 1], fusion,
+            cfg.vocab_size, W, cfg.eos_id, len_weight, cfg.max_decode_ylen,
+        )
+        got = []
+        for w in range(W):
+            if scores[b, w] < -1e29:
+                continue
+            h = hyps[b, w, : lens[b, w]].tolist()
+            got.append(
+                dict(
+                    hyp=[t for t in h if t != cfg.eos_id],
+                    score=float(scores[b, w]),
+                )
+            )
+        assert len(got) == len(ref), (b, got, ref)
+        for g, r in zip(got, ref):
+            assert g["hyp"] == r["hyp"], (b, got, ref)
+            np.testing.assert_allclose(g["score"], r["score"], rtol=1e-4)
+
+
 def test_las_beam_width1_matches_greedy(las):
     cfg, dec, variables, eouts, elens = las
     ghyps, glens = jax.jit(
