@@ -683,6 +683,144 @@ def main():
 
     guard("correct_rtf_bert", row_correct)
 
+    # -------- honest end-to-end eval-CLI throughput (VERDICT r3 #7) ----
+    # The decode rows above run fixed-length single-batch jitted loops;
+    # these rows run the REAL `eval/test_asr.py` pipeline — TSV manifest,
+    # np.load per utterance, VARIABLE lengths over real buckets, host
+    # collate, batched decode, detokenization — under the reference's own
+    # --runtime protocol (`asr/test_asr.py:226-263`: repeat the decode
+    # loop, report RTF from utt-id-embedded timestamps; result writing
+    # excluded on both sides).  value = best warm repeat (first repeat
+    # pays jit compiles, which the torch CPU reference does not have).
+    def _eval_cli_row(metric, cfg_kw, beam_argv, n_utts, ref_key,
+                      lm_kw=None, extra=None):
+        import tempfile
+
+        import pandas as pd
+        import yaml
+
+        from emoasr_tpu.eval.test_asr import build_argparser
+        from emoasr_tpu.eval.test_asr import test_main as run_test_main
+        from emoasr_tpu.train import checkpoint as ckpt
+
+        wd = tempfile.mkdtemp(prefix=f"bench_{metric}_")
+        lo, hi = (30, 100) if SMOKE else (400, 1000)
+        crng = np.random.default_rng(7)
+        rows = []
+        os.makedirs(os.path.join(wd, "feats"), exist_ok=True)
+        for i in range(n_utts):
+            T = int(crng.integers(lo, hi + 1))
+            x = crng.normal(size=(T, 80)).astype(np.float32)
+            p = os.path.join(wd, "feats", f"u{i}.npy")
+            np.save(p, x)
+            U = int(crng.integers(3, 9))
+            toks = crng.integers(3, cfg_kw["vocab_size"], size=U)
+            rows.append(
+                dict(
+                    feat_path=p,
+                    utt_id=f"s-u{i:03d}-{i * 20000}-{i * 20000 + T * 10}",
+                    token_id=" ".join(map(str, toks)),
+                    text=" ".join(f"w{t}" for t in toks),
+                    xlen=T, ylen=U,
+                )
+            )
+        audio_s = sum(r["xlen"] for r in rows) * FRAME_SHIFT_S
+        tsv = os.path.join(wd, "test.tsv")
+        pd.DataFrame(rows).to_csv(tsv, sep="\t", index=False)
+        vocab = os.path.join(wd, "vocab.txt")
+        with open(vocab, "w", encoding="utf-8") as f:
+            f.write("<blank> 0\n<unk> 1\n<eos> 2\n")
+            for i in range(3, cfg_kw["vocab_size"]):
+                f.write(f"w{i} {i}\n")
+        conf = dict(
+            cfg_kw, vocab_path=vocab, test_path=tsv,
+            buckets=[[(lo + hi) // 2, 64], [hi, 64]],
+            batch_size=64, max_xlens_batch=hi * 64, max_ylens_batch=1024,
+            spec_augment=False, max_decode_ylen=24,
+        )
+        conf_path = os.path.join(wd, "exp.yaml")
+        with open(conf_path, "w") as f:
+            yaml.safe_dump(conf, f)
+
+        cfg = config_from_dict(conf)
+        model = ASR(cfg)
+        v = model.init(
+            key, jnp.zeros((2, 64, 80)), jnp.full((2,), 64, jnp.int32),
+            jnp.ones((2, 4), jnp.int32), jnp.full((2,), 4),
+            jnp.ones((2, 5), jnp.int32), jnp.ones((2, 5), jnp.int32),
+        )
+        ckpt_dir = os.path.join(wd, "exp", "checkpoints")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        ckpt.save_model(
+            os.path.join(ckpt_dir, "model.ep1"), v["params"],
+            v.get("batch_stats"),
+        )
+
+        argv = ["-conf", conf_path, "-ep", "1", "--runtime",
+                "--runtime_num_samples", str(n_utts),
+                "--runtime_num_repeats", "3"] + beam_argv
+        if lm_kw:
+            from emoasr_tpu.models.lm.lm import LM as LMFacade
+
+            lm_cfg = config_from_dict(lm_kw)
+            lm_m = LMFacade(lm_cfg)
+            lv = lm_m.init(
+                jax.random.PRNGKey(2), jnp.zeros((1, 4), jnp.int32),
+                jnp.full((1,), 4, jnp.int32),
+            )
+            lm_dir = os.path.join(wd, "lm", "checkpoints")
+            os.makedirs(lm_dir, exist_ok=True)
+            ckpt.save_model(os.path.join(lm_dir, "model.ep1"), lv["params"])
+            lm_conf = os.path.join(wd, "lm.yaml")
+            with open(lm_conf, "w") as f:
+                yaml.safe_dump(dict(lm_kw), f)
+            argv += ["--lm_conf", lm_conf, "--lm_ep", "1"]
+        args = build_argparser().parse_args(argv)
+        runtimes, rtfs = run_test_main(args)
+        best = float(min(rtfs[1:] if len(rtfs) > 1 else rtfs))
+        ref = REF_RTF.get(ref_key)
+        row = {
+            "metric": metric,
+            "value": round(best, 6),
+            "unit": "decode_s_per_audio_s",
+            "utts_per_s_per_chip": round(
+                n_utts / (best * audio_s), 2
+            ),
+            "n_utts": n_utts,
+            "audio_s": round(audio_s, 1),
+            "rtf_cold": round(float(rtfs[0]), 6),
+            "vs_baseline": round(ref / best, 2) if ref else None,
+            "baseline_src": "measured_ref_cpu",
+            "note": "REAL eval/test_asr.py pipeline (manifest, np.load, "
+                    "variable lengths over buckets, host collate, "
+                    "detok), reference --runtime protocol; value = best "
+                    "warm repeat of 3 (cold repeat pays jit compiles)",
+        }
+        if extra:
+            row.update(extra)
+        emit(row)
+
+    guard("eval_cli_greedy_rtf_L1", lambda: _eval_cli_row(
+        "eval_cli_greedy_rtf_L1", dict(L1, **BF16), ["--beam_width", "0"],
+        n_utts=4 if SMOKE else 96, ref_key="ctc_greedy_L1",
+        extra={"compute_dtype": "bfloat16"},
+    ))
+    guard("eval_cli_joint_sf_rtf_L3_3", lambda: _eval_cli_row(
+        "eval_cli_joint_sf_rtf_L3_3", dict(L3, **BF16),
+        ["--beam_width", "10", "--len_weight", "2.0",
+         "--decode_ctc_weight", "0.3", "--lm_weight", "0.5"],
+        n_utts=4 if SMOKE else 64, ref_key="att_beam10_ctc_L3",
+        lm_kw=dict(
+            lm_type="transformer", vocab_size=10000, hidden_size=512,
+            num_layers=4, num_attention_heads=8, intermediate_size=2048,
+            max_seq_len=128, dropout_rate=0.0, eos_id=2,
+        ),
+        extra={
+            "compute_dtype": "bfloat16",
+            "baseline_src": "measured_ref_cpu_no_sf",
+        },
+    ))
+
     # ---------------- HEADLINE (emitted last): round-1 protocol --------
     def row_headline():
         cfg = config_from_dict(

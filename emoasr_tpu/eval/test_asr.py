@@ -291,7 +291,10 @@ def test_main(args, lm_weight=None, len_weight=None):
         logging.info(
             f"Averaged runtime {np.mean(runtimes):.5f}sec, RTF {np.mean(rtfs):.5f}"
         )
-        return None
+        # per-run lists so callers (bench.py eval_cli rows) can drop the
+        # cold first run (jit compiles happen there; the reference's CPU
+        # protocol has no such cost to exclude)
+        return runtimes, rtfs
 
     if getattr(args, "profile", None):
         # optional device trace (view with tensorboard / xprof); the

@@ -87,8 +87,12 @@ class TransformerEncoder(nn.Module):
                 kw.update(
                     pos_encode_type=pos_encode_type,
                     conv_kernel_size=cfg.conv_kernel_size,
+                    fused_attn=cfg.enc_fused_attn,
                 )
-                xs = Layer(**kw)(xs, mask, pos_emb, deterministic)
+                xs = Layer(**kw)(
+                    xs, mask, pos_emb, deterministic,
+                    lens=elens if cfg.enc_fused_attn else None,
+                )
             else:
                 kw.update(fused_attn=cfg.enc_fused_attn)
                 xs = Layer(**kw)(

@@ -225,7 +225,8 @@ class RelMultiHeadAttention(MultiHeadAttention):
         x = x.reshape(B, H, T, L)[:, :, :, :T]
         return x
 
-    def __call__(self, q_in, k_in, v_in, pos_emb=None, mask=None, deterministic=True):
+    def __call__(self, q_in, k_in, v_in, pos_emb=None, mask=None,
+                 deterministic=True, lens=None):
         q, k, v = self._qkv(q_in, k_in, v_in)
         B = q_in.shape[0]
         p = self.linear_pos(pos_emb).reshape(-1, self.num_heads, self.d_k)
@@ -233,9 +234,35 @@ class RelMultiHeadAttention(MultiHeadAttention):
 
         bias_u = self.pos_bias_u.astype(q.dtype)
         bias_v = self.pos_bias_v.astype(q.dtype)
-        matrix_ac = jnp.einsum("bqhd,bkhd->bhqk", q + bias_u[None, None], k)
         matrix_bd = jnp.einsum("bqhd,khd->bhqk", q + bias_v[None, None], p)
         matrix_bd = self.rel_shift(matrix_bd)
+
+        if self.fused and lens is not None:
+            # AC matmul + softmax + dropout + AV (and their backward)
+            # fuse in one Pallas program; the BD matrix stays an XLA
+            # matmul + rel_shift and enters as the additive score bias
+            # (one (B, H, T, T) HBM tensor instead of the dense path's
+            # several score-sized round trips)
+            from emoasr_tpu.ops.attention_pallas import fused_self_attention
+
+            rate = self.dropout_rate
+            if rate > 0.0 and not deterministic:
+                seed = jax.random.bits(
+                    self.make_rng("dropout"), dtype=jnp.uint32
+                ).astype(jnp.int32)
+            else:
+                seed = jnp.zeros((), jnp.int32)
+            out = fused_self_attention(
+                q + bias_u[None, None], k, v, lens, seed,
+                scale=1.0 / math.sqrt(self.d_k),
+                dropout_rate=rate,
+                deterministic=deterministic,
+                bias=matrix_bd,
+            )
+            Tq = out.shape[1]
+            return self.linear_out(out.reshape(B, Tq, self.hidden_size))
+
+        matrix_ac = jnp.einsum("bqhd,bkhd->bhqk", q + bias_u[None, None], k)
         scores = (matrix_ac + matrix_bd) / math.sqrt(self.d_k)
         return self._attend(scores, v, mask, deterministic)
 
@@ -525,9 +552,11 @@ class ConformerEncoderLayer(nn.Module):
     dropout_attn_rate: float = 0.1
     pos_encode_type: str = "rel"
     conv_kernel_size: int = 31
+    fused_attn: bool = False
 
     @nn.compact
-    def __call__(self, x, mask=None, pos_emb=None, deterministic: bool = True):
+    def __call__(self, x, mask=None, pos_emb=None, deterministic: bool = True,
+                 lens=None):
         drop = nn.Dropout(self.dropout_rate)
 
         h = nn.LayerNorm(name="norm_ff_macaron")(x)
@@ -541,8 +570,9 @@ class ConformerEncoderLayer(nn.Module):
             h = nn.LayerNorm(name="norm_self_attn")(x)
             h = RelMultiHeadAttention(
                 self.num_heads, self.hidden_size, self.dropout_attn_rate,
-                name="self_attn",
-            )(h, h, h, pos_emb, mask, deterministic)
+                fused=self.fused_attn, name="self_attn",
+            )(h, h, h, pos_emb, mask, deterministic,
+              lens=lens if self.fused_attn else None)
             x = x + drop(h, deterministic=deterministic)
 
             h = nn.LayerNorm(name="norm_conv")(x)

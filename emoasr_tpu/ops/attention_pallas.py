@@ -76,19 +76,25 @@ def _drop_mask(seed_ref, rate: float, shape):
 def _fwd_kernel(
     lens_ref,  # (1, 1) int32 SMEM
     seed_ref,  # (1, 1) int32 SMEM
-    q_ref,  # (1, 1, Tp, Dp)
-    k_ref,  # (1, 1, Tp, Dp)
-    v_ref,  # (1, 1, Tp, Dp)
-    o_ref,  # (1, 1, Tp, Dp) out
-    *,
+    *refs,  # q, k, v, [bias (1, 1, Tp, Tp)], o — bias iff has_bias
     scale: float,
     rate: float,
     Tp: int,
+    has_bias: bool = False,
 ):
+    if has_bias:
+        q_ref, k_ref, v_ref, bias_ref, o_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
     q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (Tp, Tp)
+    )  # (Tp, Tp)
+    if has_bias:
+        # additive pre-scale score bias (rel-pos BD term): semantics of
+        # scores = (AC + BD) / sqrt(d) (models/layers.py RelMHA)
+        s = s + bias_ref[0, 0].astype(jnp.float32)
+    s = s * scale
     kmask = (
         jax.lax.broadcasted_iota(jnp.int32, (1, Tp), 1) < lens_ref[0, 0]
     )
@@ -104,23 +110,26 @@ def _fwd_kernel(
 def _bwd_kernel(
     lens_ref,  # (1, 1) int32 SMEM
     seed_ref,  # (1, 1) int32 SMEM
-    q_ref,  # (1, 1, Tp, Dp)
-    k_ref,
-    v_ref,
-    do_ref,  # (1, 1, Tp, Dp)
-    dq_ref,  # outs
-    dk_ref,
-    dv_ref,
-    *,
+    *refs,  # q, k, v, [bias], do, then outs dq, dk, dv, [dbias]
     scale: float,
     rate: float,
     Tp: int,
+    has_bias: bool = False,
 ):
+    if has_bias:
+        q_ref, k_ref, v_ref, bias_ref, do_ref = refs[:5]
+        dq_ref, dk_ref, dv_ref, dbias_ref = refs[5:]
+    else:
+        q_ref, k_ref, v_ref, do_ref = refs[:4]
+        dq_ref, dk_ref, dv_ref = refs[4:]
     q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
     do = do_ref[0, 0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    )
+    if has_bias:
+        s = s + bias_ref[0, 0].astype(jnp.float32)
+    s = s * scale
     kmask = (
         jax.lax.broadcasted_iota(jnp.int32, (1, Tp), 1) < lens_ref[0, 0]
     )
@@ -154,6 +163,10 @@ def _bwd_kernel(
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
     ds = (ds * scale).astype(q.dtype)
 
+    if has_bias:
+        # s = (qk^T + bias) * scale  =>  d bias = scale * dS_presoftmax
+        dbias_ref[0, 0] = ds.astype(dbias_ref.dtype)
+
     dq_ref[0, 0] = jnp.dot(
         ds, k, preferred_element_type=jnp.float32
     ).astype(dq_ref.dtype)
@@ -180,34 +193,50 @@ def _specs(B, H, Tp, Dp, n_tensors):
     return [smem, seed] + [big] * n_tensors, big
 
 
+def _pad_bias(bias, Tp):
+    B, H, T, T2 = bias.shape
+    return jnp.pad(bias, ((0, 0), (0, 0), (0, Tp - T), (0, Tp - T2)))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused(cfgt, q, k, v, lens, seed):
-    out, _ = _fused_fwd(cfgt, q, k, v, lens, seed)
+def _fused(cfgt, q, k, v, bias, lens, seed):
+    out, _ = _fused_fwd(cfgt, q, k, v, bias, lens, seed)
     return out
 
 
-def _fused_fwd(cfgt, q, k, v, lens, seed):
-    scale, rate, interpret = cfgt
+def _fused_fwd(cfgt, q, k, v, bias, lens, seed):
+    scale, rate, interpret, has_bias = cfgt
     B, H, T, D = q.shape
     Tp, Dp = _round_up(T, 128), _round_up(D, 128)
     qp, kp, vp = (_pad_qkv(x, Tp, Dp) for x in (q, k, v))
     lens2 = lens.astype(jnp.int32).reshape(B, 1)
     seed2 = seed.astype(jnp.int32).reshape(1, 1)
     in_specs, big = _specs(B, H, Tp, Dp, 3)
+    operands = [lens2, seed2, qp, kp, vp]
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, Tp, Tp), lambda b, h: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(_pad_bias(bias, Tp))
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, rate=rate, Tp=Tp),
+        functools.partial(
+            _fwd_kernel, scale=scale, rate=rate, Tp=Tp, has_bias=has_bias
+        ),
         grid=(B, H),
         in_specs=in_specs,
         out_specs=big,
         out_shape=jax.ShapeDtypeStruct((B, H, Tp, Dp), v.dtype),
         interpret=interpret,
-    )(lens2, seed2, qp, kp, vp)
-    return out[:, :, :T, :D], (q, k, v, lens, seed)
+    )(*operands)
+    return out[:, :, :T, :D], (q, k, v, bias, lens, seed)
 
 
 def _fused_bwd(cfgt, res, g):
-    scale, rate, interpret = cfgt
-    q, k, v, lens, seed = res
+    scale, rate, interpret, has_bias = cfgt
+    q, k, v, bias, lens, seed = res
     B, H, T, D = q.shape
     Tp, Dp = _round_up(T, 128), _round_up(D, 128)
     qp, kp, vp = (_pad_qkv(x, Tp, Dp) for x in (q, k, v))
@@ -215,26 +244,48 @@ def _fused_bwd(cfgt, res, g):
     lens2 = lens.astype(jnp.int32).reshape(B, 1)
     seed2 = seed.astype(jnp.int32).reshape(1, 1)
     in_specs, big = _specs(B, H, Tp, Dp, 4)
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, rate=rate, Tp=Tp),
+    operands = [lens2, seed2, qp, kp, vp, gp]
+    out_specs = [big] * 3
+    out_shape = [
+        jax.ShapeDtypeStruct((B, H, Tp, Dp), q.dtype),
+        jax.ShapeDtypeStruct((B, H, Tp, Dp), k.dtype),
+        jax.ShapeDtypeStruct((B, H, Tp, Dp), v.dtype),
+    ]
+    if has_bias:
+        bias_spec = pl.BlockSpec(
+            (1, 1, Tp, Tp), lambda b, h: (b, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs.insert(5, bias_spec)  # after q, k, v; before do
+        operands.insert(5, _pad_bias(bias, Tp))
+        out_specs.append(bias_spec)
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, H, Tp, Tp), bias.dtype)
+        )
+    outs = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, scale=scale, rate=rate, Tp=Tp, has_bias=has_bias
+        ),
         grid=(B, H),
         in_specs=in_specs,
-        out_specs=[big] * 3,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, H, Tp, Dp), q.dtype),
-            jax.ShapeDtypeStruct((B, H, Tp, Dp), k.dtype),
-            jax.ShapeDtypeStruct((B, H, Tp, Dp), v.dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(lens2, seed2, qp, kp, vp, gp)
+    )(*operands)
     crop = lambda x: x[:, :, :T, :D]
-    return crop(dq), crop(dk), crop(dv), None, None
+    if has_bias:
+        dq, dk, dv, dbias = outs
+        dbias = dbias[:, :, :T, : bias.shape[-1]]
+    else:
+        dq, dk, dv = outs
+        dbias = None
+    return crop(dq), crop(dk), crop(dv), dbias, None, None
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
-def _fallback(q, k, v, lens, seed, scale, rate):
+def _fallback(q, k, v, lens, seed, scale, rate, bias=None):
     """Pure-JAX mirror of the kernel for off-TPU dropout runs.
 
     `pltpu.prng_seed`/`prng_random_bits` have no CPU lowering (even
@@ -249,7 +300,10 @@ def _fallback(q, k, v, lens, seed, scale, rate):
     s = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k,
         preferred_element_type=jnp.float32,
-    ) * scale
+    )
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    s = s * scale
     m = (jnp.arange(T)[None, None, None, :] < lens[:, None, None, None])
     s = jnp.where(m, s, NEG_INF)
     p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
@@ -267,24 +321,29 @@ def _fallback(q, k, v, lens, seed, scale, rate):
 
 def fused_self_attention(
     q, k, v, lens, seed, *, scale: float, dropout_rate: float = 0.0,
-    deterministic: bool = True, interpret=None,
+    deterministic: bool = True, interpret=None, bias=None,
 ):
     """Fused masked self-attention.
 
     q/k/v: (B, T, H, D); lens: (B,) valid key counts; seed: int32
     scalar array (ignored when deterministic or dropout_rate == 0).
-    Returns (B, T, H, D) in v.dtype.  Gradients flow to q/k/v.
+    `bias`: optional (B, H, Tq, Tk) additive PRE-scale score term —
+    scores = (q k^T + bias) * scale — used for the Conformer rel-pos BD
+    matrix (models/layers.py RelMHA); gradients flow to it.
+    Returns (B, T, H, D) in v.dtype.  Gradients flow to q/k/v (+bias).
     """
     if interpret is None:
         interpret = not _on_tpu()
     rate = 0.0 if deterministic else float(dropout_rate)
     if interpret and rate > 0.0:
-        return _fallback(q, k, v, lens, seed, float(scale), rate)
+        return _fallback(
+            q, k, v, lens, seed, float(scale), rate, bias=bias
+        )
     # kernel layout: (B, H, T, D) blocks are contiguous per (b, h)
     to_bhtd = lambda x: jnp.transpose(x, (0, 2, 1, 3))
     out = _fused(
-        (float(scale), rate, bool(interpret)),
+        (float(scale), rate, bool(interpret), bias is not None),
         to_bhtd(q), to_bhtd(k), to_bhtd(v),
-        lens, seed,
+        bias, lens, seed,
     )
     return jnp.transpose(out, (0, 2, 1, 3))

@@ -62,6 +62,10 @@ def _alpha_kernel(
     init_ref,  # (B, S) float {0,1}: states alive at t=0
     xlens_ref,  # (B, 1) int32
     alpha_ref,  # (T, B, S) out
+    alpha_last_ref,  # (B, S) out: final alpha, frozen at xlen-1 per row.
+    # Emitted separately so the fwd graph never SLICES the big lattice —
+    # a slice consumer makes XLA place the whole (T, B, S) custom-call
+    # result in scoped VMEM (S(1)), which OOMs at B=128 decode shapes.
     *,
     T: int,
 ):
@@ -97,6 +101,7 @@ def _alpha_kernel(
     alpha = jax.lax.fori_loop(0, (T - 1) // K, body, alpha0)
     for k in range(n_tail):
         alpha = one(T - n_tail + k, alpha)
+    alpha_last_ref[...] = alpha
 
 
 def _beta_grad_kernel(
@@ -191,7 +196,9 @@ def _batch_block(T: int, Sp: int, n_big: int, B: int) -> int:
     VMEM buffers fit a conservative scoped-VMEM budget.  One whole-batch
     program OOMs at production shapes (B=128, T=249, Sp=128: the lattice
     alone is 16.3 MB vs the 16 MB scope), so the lattice grids over
-    independent batch blocks."""
+    independent batch blocks.  `n_big` must count Mosaic's grid
+    pipelining: every in/out block whose index varies across grid steps
+    is DOUBLE-buffered (so fwd = 2 buffers x 2, bwd = 3 x 2)."""
     budget = 10 * 1024 * 1024
     bb = budget // (T * Sp * 4 * n_big)
     bb = max(8, (bb // 8) * 8)
@@ -201,7 +208,7 @@ def _batch_block(T: int, Sp: int, n_big: int, B: int) -> int:
 def _run_alpha(lp_path, allow2f, initf, xlens):
     T, B, S = lp_path.shape
     Sp = S + ((-S) % 128)
-    Bb = _batch_block(T, Sp, 2, B)
+    Bb = _batch_block(T, Sp, 4, B)
     Bp = B + ((-B) % Bb)
     lp = _pad_lanes(lp_path, 128, LOG_0)
     lp = _pad_rows(lp, 1, Bb, LOG_0)
@@ -209,7 +216,7 @@ def _run_alpha(lp_path, allow2f, initf, xlens):
     ini = _pad_rows(_pad_lanes(initf, 128, 0.0), 0, Bb, 0.0)
     xl = _pad_rows(xlens[:, None].astype(jnp.int32), 0, Bb, 1)
 
-    alpha = pl.pallas_call(
+    alpha, alpha_last = pl.pallas_call(
         functools.partial(_alpha_kernel, T=T),
         grid=(Bp // Bb,),
         in_specs=[
@@ -218,17 +225,23 @@ def _run_alpha(lp_path, allow2f, initf, xlens):
             pl.BlockSpec((Bb, Sp), lambda i: (i, 0)),
             pl.BlockSpec((Bb, 1), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((T, Bb, Sp), lambda i: (0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((T, Bp, Sp), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((T, Bb, Sp), lambda i: (0, i, 0)),
+            pl.BlockSpec((Bb, Sp), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, Bp, Sp), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, Sp), jnp.float32),
+        ],
         interpret=not _on_tpu(),
     )(lp.astype(jnp.float32), a2, ini, xl)
-    return alpha, (Bp, Sp)
+    return alpha, alpha_last
 
 
 def _ctc_fwd(lp_path, allow2f, initf, finalf, xlens):
     T, B, S = lp_path.shape
-    alpha, _ = _run_alpha(lp_path, allow2f, initf, xlens)
-    alpha_last = alpha[-1, :B, :S]  # frozen at xlen-1 per row
+    alpha, alpha_last_p = _run_alpha(lp_path, allow2f, initf, xlens)
+    alpha_last = alpha_last_p[:B, :S]  # frozen at xlen-1 per row
     sel = jnp.where(finalf > 0.5, alpha_last, LOG_0)
     ll = jax.nn.logsumexp(sel, axis=1)
     return ll, (lp_path, allow2f, initf, finalf, xlens, alpha, ll)
@@ -240,7 +253,7 @@ def _ctc_bwd(res, g):
     Sp = alpha.shape[2]
     # 3 big buffers per block here (lp, alpha, grad) vs fwd's 2, so the
     # bwd block can be smaller than the fwd's; re-pad alpha to match
-    Bb = _batch_block(T, Sp, 3, B)
+    Bb = _batch_block(T, Sp, 6, B)
     Bp = B + ((-B) % Bb)
     alpha = _pad_rows(alpha[:, :B], 1, Bb, LOG_0)
     lp = _pad_rows(_pad_lanes(lp_path, 128, LOG_0), 1, Bb, LOG_0)

@@ -270,8 +270,22 @@ def make_lm_fusion(
     return LMFusion(predict_beams, init_states, weight)
 
 
-def topk_lastdim(x: jnp.ndarray, k: int, chunk: int = 128):
-    """Exact top-k along the last axis via two-level chunked top_k.
+# Global top-k strategy: "chunked" = two-level chunked kernel below,
+# "direct" = plain lax.top_k, "auto" = current default.  The r4 chip
+# ablation (tools/ablate_beam_dtype.py) measured IN-PIPELINE direct
+# beating chunked at every beam row (rnnt_beam10 162 -> 61 ms, ctc_beam8
+# 115 -> 86 ms at V=10k) even though the isolated microbench favored
+# chunked 12x — in-loop, XLA fuses the mask/add producers into the
+# single TopK but cannot into the two-level reshape pipeline.
+TOPK_MODE = "auto"
+_AUTO_MODE = "direct"
+
+
+def topk_lastdim(x: jnp.ndarray, k: int, chunk: int = 128, mode=None):
+    """Exact top-k along the last axis; strategy per `mode` (falls back
+    to the global TOPK_MODE).
+
+    Chunked variant: two-level chunked top_k.
 
     XLA's TopK over a long trailing dim is the single largest cost of the
     beam loops on TPU (measured 2.0 ms/step for (160, 10000) at k=10,
@@ -286,7 +300,11 @@ def topk_lastdim(x: jnp.ndarray, k: int, chunk: int = 128):
     always win ties against padding.
     """
     V = x.shape[-1]
-    if V <= max(chunk * 2, 2 * k):
+    if mode is None:
+        mode = _AUTO_MODE if TOPK_MODE == "auto" else TOPK_MODE
+    elif TOPK_MODE != "auto":
+        mode = TOPK_MODE  # global force (measurement tools) wins
+    if mode == "direct" or V <= max(chunk * 2, 2 * k):
         return jax.lax.top_k(x, k)
     lead = x.shape[:-1]
     C = -(-V // chunk)

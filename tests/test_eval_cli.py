@@ -161,4 +161,6 @@ def test_eval_cli_nbest_and_runtime(corpus):
             "--runtime_num_samples", "4", "--runtime_num_repeats", "1",
         ]
     )
-    assert run_test_main(args) is None
+    runtimes, rtfs = run_test_main(args)
+    assert len(runtimes) == 1 and len(rtfs) == 1
+    assert rtfs[0] > 0

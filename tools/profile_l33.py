@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--variants", default=(
         "encode,att,att_ctc,att_sf,att_sf_cached,full,full_cached"
     ))
+    ap.add_argument("--topk", default=None, choices=[None, "direct",
+                                                     "chunked"],
+                    help="force the beam top-k strategy (r4 ablation: "
+                         "direct lax.top_k beat the chunked kernel "
+                         "in-pipeline for ctc/rnnt beams)")
     args = ap.parse_args()
     want = set(args.variants.split(","))
 
@@ -64,7 +69,11 @@ def main():
     from emoasr_tpu.eval.decode import build_decode_fn
     from emoasr_tpu.models.asr import ASR
     from emoasr_tpu.models.lm.lm import TransformerLM
+    import emoasr_tpu.search.common as search_common
     from emoasr_tpu.search.common import make_lm_fusion
+
+    if args.topk:
+        search_common.TOPK_MODE = args.topk
 
     B, T = args.batch, 1000
     ENC = dict(
