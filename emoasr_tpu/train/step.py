@@ -155,21 +155,23 @@ def make_train_step(
         opt_step = (new_step + cfg.accum_grad - 1) // cfg.accum_grad
         lr = lr_fn(opt_step, state.epoch_scale)
 
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        updates = scale_updates(updates, lr)
-        new_params = optax.apply_updates(state.params, updates)
-
         # NaN-skip: keep old params/opt_state when grads were non-finite
         # (train_asr.py:83-90); the step counter still advances, matching
         # the reference's scheduler (its optimizer.step is skipped but the
-        # loop continues).
-        new_params = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(finite, new, old),
-            new_params, state.params,
-        )
-        new_opt_state = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(finite, new, old),
-            new_opt_state, state.opt_state,
+        # loop continues).  lax.cond executes ONE branch on TPU — the old
+        # per-leaf where-guards re-read and re-wrote the whole param AND
+        # moment trees every step (hundreds of extra small kernels).
+        def _apply(operand):
+            grads_, opt_state_, params_ = operand
+            updates, new_opt = tx.update(grads_, opt_state_, params_)
+            updates = scale_updates(updates, lr)
+            return optax.apply_updates(params_, updates), new_opt
+
+        new_params, new_opt_state = jax.lax.cond(
+            finite,
+            _apply,
+            lambda operand: (operand[2], operand[1]),
+            (grads, state.opt_state, state.params),
         )
         new_stats = new_stats if new_stats else state.batch_stats
 
