@@ -241,7 +241,7 @@ def attention_beam_search(
 
         if use_ctc:
             # pre-select K2 candidates by att(+lm) (transformer.py:222-232)
-            pre_sc, v_topb = topk_lastdim(scores_pre, K2, mode="chunked")  # (B, W, K2)
+            pre_sc, v_topb = topk_lastdim(scores_pre, K2)  # (B, W, K2)
             # psi only — the lattice state advances lazily AFTER selection
             # (ctc_prefix_state_update below), so the Kogge-Stone scans
             # run over W winners instead of W*K2 candidates
@@ -267,7 +267,7 @@ def attention_beam_search(
             sel_tok = jnp.take_along_axis(v_topb, sel_i, axis=2)
             sel_psi = jnp.take_along_axis(psi, sel_i, axis=2)
         else:
-            sel_sc, sel_tok = topk_lastdim(scores_pre, W, mode="chunked")  # (B, W, W)
+            sel_sc, sel_tok = topk_lastdim(scores_pre, W)  # (B, W, W)
             sel_psi = None
 
         K = W

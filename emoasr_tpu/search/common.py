@@ -278,7 +278,7 @@ def make_lm_fusion(
 # chunked 12x — in-loop, XLA fuses the mask/add producers into the
 # single TopK but cannot into the two-level reshape pipeline.
 TOPK_MODE = "auto"
-_AUTO_MODE = "direct"
+_AUTO_MODE = "pallas"  # falls back to direct when k/V is out of range
 
 
 def topk_lastdim(x: jnp.ndarray, k: int, chunk: int = 128, mode=None):
@@ -304,6 +304,16 @@ def topk_lastdim(x: jnp.ndarray, k: int, chunk: int = 128, mode=None):
         mode = _AUTO_MODE if TOPK_MODE == "auto" else TOPK_MODE
     elif TOPK_MODE != "auto":
         mode = TOPK_MODE  # global force (measurement tools) wins
+    if mode in ("pallas", "auto"):
+        # small-k selection: k unrolled (max, min-index, mask) VMEM
+        # sweeps (ops/topk_pallas.py) — no sort.  In-loop at (640, 10k)
+        # k=10: 0.04 ms/step vs chunked 2.0 / direct 5.8
+        # (tools/ablate_machinery.py, r4 chip run)
+        if k <= 32 and V >= 2 * chunk:
+            from emoasr_tpu.ops.topk_pallas import topk_pallas
+
+            return topk_pallas(x, k)
+        mode = "direct"
     if mode == "direct" or V <= max(chunk * 2, 2 * k):
         return jax.lax.top_k(x, k)
     lead = x.shape[:-1]

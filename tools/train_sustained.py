@@ -69,6 +69,13 @@ def main():
     ap.add_argument("--steps", type=int, default=500)
     ap.add_argument("--out", default="/tmp/sustained")
     ap.add_argument("--n_utts", type=int, default=1500)
+    ap.add_argument("--family", default="l1", choices=["l1", "t5"],
+                    help="l1 = CTC(Transformer); t5 = Conformer "
+                         "transducer (Pallas joint + fused LSTM), "
+                         "held-out decode via the ALSD beam")
+    ap.add_argument("--beam", type=int, default=None,
+                    help="decode beam width (default: 0 for l1, 10 "
+                         "for t5)")
     args = ap.parse_args()
 
     import jax
@@ -79,10 +86,10 @@ def main():
     V, F = 80, 80  # V <= F: each token gets a unique feature channel
     train_tsv, test_tsv, vocab = make_corpus(args.out, args.n_utts, V, F)
 
-    conf = dict(
-        encoder_type="transformer", decoder_type="ctc", input_layer="conv2d",
+    common = dict(
+        input_layer="conv2d",
         feat_dim=F, enc_hidden_size=256, enc_num_attention_heads=4,
-        enc_num_layers=12, enc_intermediate_size=2048, vocab_size=V,
+        enc_num_layers=12, vocab_size=V,
         vocab_path=vocab, train_path=train_tsv, test_path=test_tsv,
         buckets=[[384, 24]], batch_size=32, max_xlens_batch=30000,
         max_ylens_batch=3000,
@@ -97,7 +104,21 @@ def main():
         compute_dtype="bfloat16", log_step=25, save_step=1000000,
         seed=0,
     )
-    conf_path = os.path.join(args.out, "l1_sustained.yaml")
+    if args.family == "t5":
+        conf = dict(
+            common, encoder_type="conformer", pos_encode_type="rel",
+            decoder_type="rnn_transducer", enc_intermediate_size=1024,
+            embedding_size=128, dec_hidden_size=512, dec_num_layers=1,
+            joint_hidden_size=512, rnnt_joint_mode="pallas",
+            dropout_dec_rate=0.1, dropout_emb_rate=0.1,
+            max_decode_ylen=24,
+        )
+    else:
+        conf = dict(
+            common, encoder_type="transformer", decoder_type="ctc",
+            enc_intermediate_size=2048,
+        )
+    conf_path = os.path.join(args.out, f"{args.family}_sustained.yaml")
     with open(conf_path, "w") as f:
         yaml.safe_dump(conf, f)
 
@@ -113,21 +134,26 @@ def main():
     from emoasr_tpu.utils.paths import get_model_path
     import glob
 
-    ckpts = glob.glob(os.path.join(args.out, "l1_sustained/checkpoints/model.ep*"))
+    ckpts = glob.glob(os.path.join(
+        args.out, f"{args.family}_sustained/checkpoints/model.ep*"
+    ))
     wer = None
+    beam = args.beam if args.beam is not None else (
+        10 if args.family == "t5" else 0
+    )
     if ckpts:
         ep = sorted(int(c.rsplit("ep", 1)[1]) for c in ckpts)[-1]
         targs = build_argparser().parse_args(
-            ["-conf", conf_path, "-ep", str(ep), "--beam_width", "0"]
+            ["-conf", conf_path, "-ep", str(ep), "--beam_width", str(beam)]
         )
         out = test_main(targs)
         if out is not None:
             wer = out[2]
 
     print(json.dumps(dict(
-        steps=steps, wall_s=round(wall, 1),
+        family=args.family, steps=steps, wall_s=round(wall, 1),
         steps_per_s=round(steps / wall, 2),
-        skipped=int(state.skipped), wer=wer,
+        skipped=int(state.skipped), beam=beam, wer=wer,
     )))
 
 
