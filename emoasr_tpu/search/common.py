@@ -19,12 +19,20 @@ from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 DEAD = -1e30  # score of dead/pruned beam slots
 
-HASH_P1 = jnp.uint32(1000003)
-HASH_P2 = jnp.uint32(0x01000193)  # FNV prime
+# numpy scalars, NOT jnp: module-level device arrays become captured
+# closure constants in every trace that uses them; under jax 0.9's
+# hoisted-constant lowering this produced executables expecting two
+# extra ui32 parameter buffers that dispatch then failed to supply
+# ("Execution supplied 46 buffers but compiled program expected 48",
+# order-dependent across tests in one process).  np scalars inline as
+# HLO literals.
+HASH_P1 = np.uint32(1000003)
+HASH_P2 = np.uint32(0x01000193)  # FNV prime
 
 
 def hash_init(shape) -> Tuple[jnp.ndarray, jnp.ndarray]:
