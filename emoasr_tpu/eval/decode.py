@@ -231,14 +231,15 @@ def build_decode_fn(
                 )
 
             step_indirect_fn = None
-            if step_mode == "indirect":
+            if step_mode in ("indirect", "fused_indirect"):
                 def step_indirect_fn(tokens, pos, caches, anc):
                     return model.apply(
                         variables, tokens, pos, caches, anc, cross_kvs,
                         emask,
                         method=lambda m, *a:
                             m.decoder.decode_step_cached_indirect(
-                                *a, beam_width=W
+                                *a, beam_width=W, step_mode=step_mode,
+                                elens=elens,
                             ),
                     )
 

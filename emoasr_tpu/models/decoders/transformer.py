@@ -135,7 +135,7 @@ class TransformerDecoder(nn.Module):
 
     def decode_step_cached_indirect(
         self, tokens, pos, caches, anc, cross_kvs, memory_mask=None,
-        beam_width=None,
+        beam_width=None, step_mode="indirect", elens=None,
     ):
         """`decode_step_cached` with ancestor-indirect caches.
 
@@ -158,11 +158,13 @@ class TransformerDecoder(nn.Module):
         flat_pos = pos.reshape(-1)
         h = emb * _math.sqrt(cfg.dec_hidden_size) + pe[flat_pos][:, None, :]
 
+        fused = step_mode == "fused_indirect"
         new_caches = []
         for i, layer in enumerate(self.layers):
             h, ck, cv = layer.decode_step_indirect(
                 h, caches[i][0], caches[i][1], pos, anc,
                 memory_mask, cross_kvs[i], beam_width,
+                fused=fused, elens=elens,
             )
             new_caches.append((ck, cv))
         logits = self.output(self.norm(h[:, 0]))

@@ -432,7 +432,7 @@ class TransformerDecoderLayer(nn.Module):
 
     def decode_step_indirect(
         self, h, cache_k, cache_v, pos, anc, memory_mask, cross_kv,
-        beam_width,
+        beam_width, fused=False, elens=None,
     ):
         """`decode_step` with ancestor-indirect self-attention caches.
 
@@ -446,12 +446,36 @@ class TransformerDecoderLayer(nn.Module):
         selects each beam's ancestor rows with a one-hot W-wide MXU
         contraction.  Exact (one-hot selection), label-sync-only (each
         physical column is written once, at its step).
+
+        `fused=True` (+ `elens`) runs the whole layer step as ONE Pallas
+        program (ops/decoder_step_pallas.py::_kernel_indirect) — same
+        math, none of the per-op HBM round trips.
         """
         B = h.shape[0]
         W = beam_width
         Bu = B // W
         H, dk = self.num_heads, self.hidden_size // self.num_heads
         Lc = cache_k.shape[2]
+
+        if fused and elens is not None:
+            from emoasr_tpu.ops.decoder_step_pallas import (
+                fused_decoder_layer_step_indirect,
+            )
+
+            y, k_new, v_new = fused_decoder_layer_step_indirect(
+                h[:, 0], cache_k, cache_v, pos, anc,
+                cross_kv[0], cross_kv[1], elens,
+                self._decode_step_weights(), beam_width=W,
+            )
+            bidx = jnp.arange(Bu)[:, None]
+            widx = jnp.arange(W)[None, :]
+            cache_k = cache_k.at[bidx, widx, pos].set(
+                k_new.reshape(Bu, W, H, dk)
+            )
+            cache_v = cache_v.at[bidx, widx, pos].set(
+                v_new.reshape(Bu, W, H, dk)
+            )
+            return y[:, None], cache_k, cache_v
 
         hn = self.norm1(h)
         q, k, v = self.self_attn._qkv(hn, hn, hn)  # (B, 1, H, dk)

@@ -96,7 +96,8 @@ def _fwd_kernel(
         s = s + bias_ref[0, 0].astype(jnp.float32)
     s = s * scale
     kmask = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, Tp), 1) < lens_ref[0, 0]
+        jax.lax.broadcasted_iota(jnp.int32, (1, Tp), 1)
+        < lens_ref[pl.program_id(0), 0]
     )
     p = _softmax_masked(s, kmask)
     if rate > 0.0:
@@ -131,7 +132,8 @@ def _bwd_kernel(
         s = s + bias_ref[0, 0].astype(jnp.float32)
     s = s * scale
     kmask = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, Tp), 1) < lens_ref[0, 0]
+        jax.lax.broadcasted_iota(jnp.int32, (1, Tp), 1)
+        < lens_ref[pl.program_id(0), 0]
     )
     p = _softmax_masked(s, kmask)  # f32, zero at masked keys
 
@@ -181,8 +183,11 @@ def _pad_qkv(x, Tp, Dp):
 
 
 def _specs(B, H, Tp, Dp, n_tensors):
+    # whole-array SMEM blocks (Mosaic rejects (1, 1) blocks of a (B, 1)
+    # array: block dims must divide (8, 128) or equal the array's); the
+    # kernel indexes lens by pl.program_id(0)
     smem = pl.BlockSpec(
-        (1, 1), lambda b, h: (b, 0), memory_space=pltpu.SMEM
+        (B, 1), lambda b, h: (0, 0), memory_space=pltpu.SMEM
     )
     seed = pl.BlockSpec(
         (1, 1), lambda b, h: (0, 0), memory_space=pltpu.SMEM

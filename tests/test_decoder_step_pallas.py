@@ -130,7 +130,7 @@ def test_attention_beam_fused_matches_dense():
         jnp.ones((B, 5), jnp.int32),
     )
     outs = {}
-    for mode in ("dense", "fused", "indirect"):
+    for mode in ("dense", "fused", "indirect", "fused_indirect"):
         cfg = config_from_dict(dict(base, dec_step_mode=mode))
         dec = build_decode_fn(
             ASR(cfg), variables, cfg, beam_width=4, len_weight=0.5,
@@ -138,7 +138,7 @@ def test_attention_beam_fused_matches_dense():
         )
         outs[mode] = dec(xs, xlens)
     hyps_d, lens_d, scores_d = outs["dense"]
-    for mode in ("fused", "indirect"):
+    for mode in ("fused", "indirect", "fused_indirect"):
         hyps_f, lens_f, scores_f = outs[mode]
         np.testing.assert_array_equal(
             np.asarray(lens_d), np.asarray(lens_f), err_msg=mode
@@ -150,3 +150,48 @@ def test_attention_beam_fused_matches_dense():
             np.asarray(scores_d), np.asarray(scores_f), rtol=1e-4,
             atol=1e-4, err_msg=mode,
         )
+
+
+def test_fused_indirect_multiblock(monkeypatch):
+    """fused_indirect search parity under a tiny VMEM budget (forces a
+    multi-program utterance grid with padding)."""
+    from emoasr_tpu.config import config_from_dict
+    from emoasr_tpu.eval.decode import build_decode_fn
+    from emoasr_tpu.models.asr import ASR
+
+    monkeypatch.setattr(dsp, "_VMEM_BUDGET", 60_000)
+    rng = np.random.default_rng(7)
+    base = dict(
+        encoder_type="transformer", decoder_type="transformer",
+        input_layer="conv2d", feat_dim=16, enc_hidden_size=32,
+        enc_num_attention_heads=2, enc_num_layers=1,
+        enc_intermediate_size=64, dec_hidden_size=32,
+        dec_num_attention_heads=2, dec_num_layers=2,
+        dec_intermediate_size=64, vocab_size=40, mtl_ctc_weight=0.3,
+        max_decode_ylen=8, dropout_enc_rate=0.0, dropout_attn_rate=0.0,
+        dropout_dec_rate=0.0,
+    )
+    B, T = 3, 40
+    xs = jnp.asarray(rng.normal(size=(B, T, 16)).astype(np.float32))
+    xlens = jnp.asarray([40, 29, 33], jnp.int32)
+    cfg_i = config_from_dict(dict(base, dec_step_mode="indirect"))
+    model = ASR(cfg_i)
+    variables = model.init(
+        jax.random.PRNGKey(5), xs, xlens, jnp.ones((B, 4), jnp.int32),
+        jnp.full((B,), 4), jnp.ones((B, 5), jnp.int32),
+        jnp.ones((B, 5), jnp.int32),
+    )
+    outs = {}
+    for mode in ("indirect", "fused_indirect"):
+        cfg = config_from_dict(dict(base, dec_step_mode=mode))
+        dec = build_decode_fn(
+            ASR(cfg), variables, cfg, beam_width=3, len_weight=0.4,
+        )
+        outs[mode] = dec(xs, xlens)
+    np.testing.assert_array_equal(
+        np.asarray(outs["indirect"][0]), np.asarray(outs["fused_indirect"][0])
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs["indirect"][2]),
+        np.asarray(outs["fused_indirect"][2]), rtol=1e-4, atol=1e-4,
+    )
