@@ -31,6 +31,21 @@ from flax import linen as nn
 from emoasr_tpu.models.layers import NEG_INF, make_causal_mask, make_pad_mask
 
 
+# fused indirect-step dispatch: None = auto (Pallas kernel on TPU),
+# True/False = forced (tests + measurement tools)
+FUSED_INDIRECT_STEP = None
+
+
+def _fused_step_wanted() -> bool:
+    if FUSED_INDIRECT_STEP is not None:
+        return bool(FUSED_INDIRECT_STEP)
+    dev = jax.devices()[0]
+    return (
+        "tpu" in dev.platform.lower()
+        or "tpu" in getattr(dev, "device_kind", "").lower()
+    )
+
+
 class BertSelfAttention(nn.Module):
     num_heads: int
     hidden_size: int
@@ -173,8 +188,43 @@ class BertLayer(nn.Module):
         x = self.attn_norm(x + h)
         return self._ff(x, True), cache_k, cache_v
 
-    def step_indirect(self, x, cache_k, cache_v, pos, anc):
-        """`step` on (B, W, D) with ancestor-indirect caches."""
+    def _step_weights(self):
+        """Raw weight dict for the fused Pallas step (ops/lm_step_pallas)."""
+        p = self.variables["params"]
+        return dict(
+            wq=p["self_attn"]["query"]["kernel"],
+            bq=p["self_attn"]["query"]["bias"],
+            wk=p["self_attn"]["key"]["kernel"],
+            bk=p["self_attn"]["key"]["bias"],
+            wv=p["self_attn"]["value"]["kernel"],
+            bv=p["self_attn"]["value"]["bias"],
+            wo=p["attn_output"]["kernel"], bo=p["attn_output"]["bias"],
+            ln1_s=p["attn_norm"]["scale"], ln1_b=p["attn_norm"]["bias"],
+            wi=p["intermediate"]["kernel"], bi=p["intermediate"]["bias"],
+            wo2=p["output"]["kernel"], bo2=p["output"]["bias"],
+            ln2_s=p["output_norm"]["scale"], ln2_b=p["output_norm"]["bias"],
+        )
+
+    def step_indirect(self, x, cache_k, cache_v, pos, anc, fused=False):
+        """`step` on (B, W, D) with ancestor-indirect caches.
+
+        `fused=True` runs the whole layer step as ONE Pallas program
+        (ops/lm_step_pallas.py) — same math, none of the ~30 small-op
+        HBM round trips per layer."""
+        if fused:
+            from emoasr_tpu.ops.lm_step_pallas import (
+                fused_bert_layer_step_indirect,
+            )
+
+            B, W = pos.shape
+            y, k_new, v_new = fused_bert_layer_step_indirect(
+                x, cache_k, cache_v, pos, anc, self._step_weights()
+            )
+            bidx = jnp.arange(B)[:, None]
+            widx = jnp.arange(W)[None, :]
+            cache_k = cache_k.at[bidx, widx, pos].set(k_new)
+            cache_v = cache_v.at[bidx, widx, pos].set(v_new)
+            return y, cache_k, cache_v
         h, cache_k, cache_v = self.self_attn.step_indirect(
             x, cache_k, cache_v, pos, anc
         )
@@ -284,12 +334,15 @@ class BertStack(nn.Module):
 
     def step_indirect(self, tokens, pos, caches, anc):
         """`step` over (B, W) beams with physical-slot caches + ancestor
-        table (see BertSelfAttention.step_indirect)."""
+        table (see BertSelfAttention.step_indirect).  Each layer runs as
+        one fused Pallas program on TPU (FUSED_INDIRECT_STEP=None ->
+        auto; ops/lm_step_pallas.py), the XLA path elsewhere."""
         h = self._embed(tokens[..., None], pos[..., None], True)[..., 0, :]
+        fused = _fused_step_wanted()
         new_caches = []
         for i, layer in enumerate(self.layers):
             h, ck, cv = layer.step_indirect(
-                h, caches[i][0], caches[i][1], pos, anc
+                h, caches[i][0], caches[i][1], pos, anc, fused=fused
             )
             new_caches.append((ck, cv))
         return h, new_caches

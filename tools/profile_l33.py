@@ -44,6 +44,10 @@ def main():
                     help="force the beam top-k strategy (r4 ablation: "
                          "direct lax.top_k beat the chunked kernel "
                          "in-pipeline for ctc/rnnt beams)")
+    ap.add_argument("--lm-step", default="auto",
+                    choices=["auto", "fused", "xla"],
+                    help="indirect LM layer step: fused Pallas kernel "
+                         "(ops/lm_step_pallas.py) vs the XLA chain")
     args = ap.parse_args()
     want = set(args.variants.split(","))
 
@@ -74,6 +78,10 @@ def main():
 
     if args.topk:
         search_common.TOPK_MODE = args.topk
+    if args.lm_step != "auto":
+        import emoasr_tpu.models.lm.bert as bert_mod
+
+        bert_mod.FUSED_INDIRECT_STEP = args.lm_step == "fused"
 
     B, T = args.batch, 1000
     ENC = dict(

@@ -128,6 +128,97 @@ def main():
         dropout_emb_rate=0.0,
     ))
 
+    # full-vs-fwd_bwd gap ablations: buffer donation (in-place optimizer
+    # update) and a no-NaN-skip step (optimizer applied unconditionally)
+    def add_donated_variant():
+        cfg = config_from_dict(T5)
+        model = ASR(cfg)
+        init = shared["init"]
+        tx = build_optimizer(cfg)
+        state0 = init_train_state(
+            init["params"], init.get("batch_stats", {}), tx
+        )
+        step = make_train_step(model, cfg, tx)
+        tkey = jax.random.key(0, impl=cfg.rng_impl)
+        compiled = (
+            jax.jit(lambda s, b, k: step(s, b, k), donate_argnums=(0,))
+            .lower(state0, batch, tkey)
+            .compile()
+        )
+        holder = {"s": state0}
+
+        def run():
+            holder["s"], m = compiled(holder["s"], batch, tkey)
+            return m["loss_total"]
+
+        variants["full_donated"] = run
+
+    add_donated_variant()
+
+    def add_noskip_variant():
+        import optax
+
+        from emoasr_tpu.train.optim import make_lr_fn, scale_updates
+
+        cfg = config_from_dict(T5)
+        model = ASR(cfg)
+        init = shared["init"]
+        tx = build_optimizer(cfg)
+        state0 = init_train_state(
+            init["params"], init.get("batch_stats", {}), tx
+        )
+        lr_fn = make_lr_fn(cfg, None)
+
+        def step_fn(state, b, rng_):
+            sa, do = jax.random.split(rng_)
+            x2, l2 = preprocess(cfg, b["xs"], b["xlens"], sa, True)
+            x2 = cast_batch_for_compute(cfg, x2)
+
+            def loss_fn(params):
+                vs = {"params": cast_params_for_compute(cfg, params)}
+                mutable = False
+                if state.batch_stats:
+                    vs["batch_stats"] = state.batch_stats
+                    mutable = ["batch_stats"]
+                out = model.apply(
+                    vs, x2, l2, b["ys"], b["ylens"], b["ys_in"],
+                    b["ys_out"], None, None, None, deterministic=False,
+                    rngs={"dropout": do}, mutable=mutable,
+                )
+                if mutable:
+                    (loss, ld), up = out
+                    return loss, (ld, up.get("batch_stats", {}))
+                loss, ld = out
+                return loss, (ld, {})
+
+            (loss, (ld, stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            lr = lr_fn(state.step + 1, state.epoch_scale)
+            updates, new_opt = tx.update(
+                grads, state.opt_state, state.params
+            )
+            updates = scale_updates(updates, lr)
+            new_params = optax.apply_updates(state.params, updates)
+            state = state.replace(
+                step=state.step + 1, params=new_params,
+                batch_stats=stats if stats else state.batch_stats,
+                opt_state=new_opt,
+            )
+            return state, ld
+
+        tkey = jax.random.key(0, impl=cfg.rng_impl)
+        compiled = jax.jit(step_fn).lower(state0, batch, tkey).compile()
+        holder = {"s": state0}
+
+        def run():
+            holder["s"], m = compiled(holder["s"], batch, tkey)
+            return m["loss_total"]
+
+        variants["full_noskip"] = run
+
+    add_noskip_variant()
+
     cfg = config_from_dict(T5)
     model = ASR(cfg)
     init = shared["init"]
