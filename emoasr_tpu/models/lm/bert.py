@@ -31,19 +31,21 @@ from flax import linen as nn
 from emoasr_tpu.models.layers import NEG_INF, make_causal_mask, make_pad_mask
 
 
-# fused indirect-step dispatch: None = auto (Pallas kernel on TPU),
-# True/False = forced (tests + measurement tools)
+# fused indirect-step dispatch: None = auto, True/False = forced
+# (tests + measurement tools).  Chip A/B at the L3-3 flagship row
+# (B=64, W=10, bf16, tools/profile_l33.py --lm-step): XLA chain 329.0 ms
+# vs fused kernel 370.4 ms — XLA already fuses this step well enough
+# that the kernel's W-way masked cache contractions cost more than the
+# small-op overhead they remove, so auto resolves to the XLA path.  The
+# kernel stays parity-tested (tests/test_lm_step_pallas.py) as the
+# fallback shape for future W/L regimes.
 FUSED_INDIRECT_STEP = None
 
 
 def _fused_step_wanted() -> bool:
     if FUSED_INDIRECT_STEP is not None:
         return bool(FUSED_INDIRECT_STEP)
-    dev = jax.devices()[0]
-    return (
-        "tpu" in dev.platform.lower()
-        or "tpu" in getattr(dev, "device_kind", "").lower()
-    )
+    return False
 
 
 class BertSelfAttention(nn.Module):
