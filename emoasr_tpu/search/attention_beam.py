@@ -44,6 +44,13 @@ CTC_BEAM_WIDTH_RATIO = 1.5  # transformer.py:22
 # Tests override with explicit bounds to force transitions at toy sizes.
 STAGE_BOUNDS = None
 
+# measurement-only knob (tools/stub_full.py): when True the while-loop
+# conditions ignore convergence and run every stage to its step cap, so
+# component-stubbed variants execute identical trip counts and their
+# time deltas are per-step-comparable.  Results stay correct (res_*
+# writes are row_active-gated); never set in production paths.
+FORCE_FULL_STEPS = False
+
 
 class _State(NamedTuple):
     step: jnp.ndarray
@@ -169,6 +176,9 @@ def attention_beam_search(
     w_idx = jnp.arange(W)[None, :]
 
     def make_cond(step_cap: int):
+        if FORCE_FULL_STEPS:
+            return lambda state: state.step < step_cap
+
         def cond(state: _State):
             active = (state.scores > DEAD / 2).any(axis=1)
             running = active & (state.res_count < W)
