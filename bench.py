@@ -82,7 +82,7 @@ SMOKE = bool(os.environ.get("BENCH_SMOKE"))
 # per row), so results can always be read back from a committed
 # artifact.  Smoke runs divert to /tmp so CPU validation passes can
 # never clobber the real-chip scoreboard.
-BENCH_ROUND = os.environ.get("BENCH_ROUND", "04")
+BENCH_ROUND = os.environ.get("BENCH_ROUND", "05")
 SELF_PATH = os.environ.get(
     "BENCH_SELF_PATH",
     os.path.join(
@@ -98,15 +98,17 @@ _self_rows = []
 # ROUND3_NOTES.md mid-round table (the r3 driver capture truncated the
 # early rows), BENCH_r02.json.
 BEST_PRIOR = {  # metric: (best_value, higher_is_better)
-    "l1_train_step_bf16": (54.78, True),      # ROUND3_NOTES mid-round
+    "l1_train_step_bf16": (56.35, True),      # BENCH_SELF_r04
     "t5_train_step_bf16": (40.18, True),      # ROUND3_NOTES mid-round
     "ctc_beam8_rtf_L1": (7.9e-05, False),     # ROUND3_NOTES (f32, B=128)
-    "rnnt_greedy_rtf_T5": (7.7e-05, False),   # ROUND3_NOTES (f32, B=128)
-    "rnnt_beam10_rtf_T5": (4.15e-04, False),  # ROUND3_NOTES (f32, B=16)
-    "att_joint_sf_rtf_L3_3": (7.5e-04, False),  # BENCH_r03 (bf16, B=64)
+    "rnnt_greedy_rtf_T5": (4.4e-05, False),   # BENCH_SELF_r04
+    "rnnt_beam10_rtf_T5": (3.66e-04, False),  # BENCH_SELF_r04
+    "att_joint_sf_rtf_L3_3": (5.16e-04, False),  # BENCH_SELF_r04 (B=64)
     "rescore_rtf_bert": (1.225e-03, False),   # BENCH_r03
     "correct_rtf_bert": (1.26e-03, False),    # ROUND3_NOTES mid-round
     "ctc_greedy_batched_rtf_L1": (2.0e-05, False),  # BENCH_r03
+    "eval_cli_greedy_rtf_L1": (1.959e-03, False),   # BENCH_SELF_r04
+    "eval_cli_joint_sf_rtf_L3_3": (2.523e-03, False),  # BENCH_SELF_r04
 }
 
 # published reference CPU RTFs (asr/correct/README.md:55-58)
@@ -749,6 +751,24 @@ def main():
             jnp.ones((2, 4), jnp.int32), jnp.full((2,), 4),
             jnp.ones((2, 5), jnp.int32), jnp.ones((2, 5), jnp.int32),
         )
+        # Termination nudge for the joint-CTC row (r4's `cannot decode`
+        # storm root cause, same physics as tools/parity_fullsize.py):
+        # an UNTRAINED model never finalizes a hypothesis under joint
+        # CTC — the eos candidate's CTC term is a full-blank alignment
+        # of every remaining frame (~ -9.2 nats/frame at V=10k uniform),
+        # so every beam dies at the step cap with zero results and the
+        # row's RTF is measured partly on early-exited rows.  Trained
+        # CTC models are blank-dominated and DO finalize; biasing the
+        # random checkpoint's CTC blank and decoder eos logits makes the
+        # row execute trained-like decode work (n_decoded == n_utts).
+        dec = v["params"].get("decoder", {})
+        if cfg_kw.get("decoder_type") == "transformer" and "ctc" in dec:
+            dec["output"]["bias"] = (
+                dec["output"]["bias"].at[2].add(5.5)  # eos
+            )
+            dec["ctc"]["output"]["bias"] = (
+                dec["ctc"]["output"]["bias"].at[0].add(9.0)  # blank
+            )
         ckpt_dir = os.path.join(wd, "exp", "checkpoints")
         os.makedirs(ckpt_dir, exist_ok=True)
         ckpt.save_model(
@@ -776,7 +796,7 @@ def main():
                 yaml.safe_dump(dict(lm_kw), f)
             argv += ["--lm_conf", lm_conf, "--lm_ep", "1"]
         args = build_argparser().parse_args(argv)
-        runtimes, rtfs = run_test_main(args)
+        runtimes, rtfs, n_decoded = run_test_main(args)
         best = float(min(rtfs[1:] if len(rtfs) > 1 else rtfs))
         ref = REF_RTF.get(ref_key)
         row = {
@@ -787,6 +807,7 @@ def main():
                 n_utts / (best * audio_s), 2
             ),
             "n_utts": n_utts,
+            "n_decoded": n_decoded,
             "audio_s": round(audio_s, 1),
             "rtf_cold": round(float(rtfs[0]), 6),
             "vs_baseline": round(ref / best, 2) if ref else None,
@@ -818,6 +839,9 @@ def main():
         extra={
             "compute_dtype": "bfloat16",
             "baseline_src": "measured_ref_cpu_no_sf",
+            "termination_nudge": "ctc blank +9.0 / dec eos +5.5 on the "
+                                 "random ckpt so beams finalize like a "
+                                 "trained model's would (r4 storm fix)",
         },
     ))
 

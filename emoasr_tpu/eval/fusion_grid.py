@@ -77,6 +77,11 @@ def build_argparser():
     parser.add_argument("--lm_conf", type=str, default=None)
     parser.add_argument("--lm_ep", type=str, default=None)
     parser.add_argument("--lm_tag", type=str, default=None)
+    parser.add_argument("--dp", action="store_true",
+                        help="data-parallel eval over all visible "
+                             "devices (GSPMD batch sharding; the "
+                             "reference fans grid points to CPU pool "
+                             "workers instead)")
     return parser
 
 

@@ -18,6 +18,7 @@ batch and all beams in one jitted loop.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -48,8 +49,23 @@ STAGE_BOUNDS = None
 # conditions ignore convergence and run every stage to its step cap, so
 # component-stubbed variants execute identical trip counts and their
 # time deltas are per-step-comparable.  Results stay correct (res_*
-# writes are row_active-gated); never set in production paths.
+# writes are row_active-gated); never set in production paths.  Use the
+# `force_full_steps()` context manager rather than assigning the global:
+# a forgotten reset pins every later trace in the process to its step
+# cap (ADVICE r4).
 FORCE_FULL_STEPS = False
+
+
+@contextmanager
+def force_full_steps(enabled: bool = True):
+    """Scoped override of FORCE_FULL_STEPS (restores the prior value)."""
+    global FORCE_FULL_STEPS
+    prev = FORCE_FULL_STEPS
+    FORCE_FULL_STEPS = enabled
+    try:
+        yield
+    finally:
+        FORCE_FULL_STEPS = prev
 
 
 class _State(NamedTuple):

@@ -15,6 +15,7 @@ than O(C^2 * L) in tokens.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -285,7 +286,10 @@ def make_lm_fusion(
 # 115 -> 86 ms at V=10k) even though the isolated microbench favored
 # chunked 12x — in-loop, XLA fuses the mask/add producers into the
 # single TopK but cannot into the two-level reshape pipeline.
-TOPK_MODE = "auto"
+# EMOASR_TOPK env overrides the global for A/B measurement runs
+# (bench.py BENCH_ONLY rows + EMOASR_TOPK=direct/chunked/pallas bisect a
+# single scoreboard row per strategy without code edits)
+TOPK_MODE = os.environ.get("EMOASR_TOPK", "auto")
 _AUTO_MODE = "pallas"  # falls back to direct when k/V is out of range
 
 

@@ -161,6 +161,7 @@ def test_eval_cli_nbest_and_runtime(corpus):
             "--runtime_num_samples", "4", "--runtime_num_repeats", "1",
         ]
     )
-    runtimes, rtfs = run_test_main(args)
+    runtimes, rtfs, n_decoded = run_test_main(args)
     assert len(runtimes) == 1 and len(rtfs) == 1
     assert rtfs[0] > 0
+    assert n_decoded == 4  # every runtime utt produced a hypothesis

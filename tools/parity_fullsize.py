@@ -23,7 +23,7 @@ Protocol (one run, three decodes over the same synthetic eval set):
    the WER delta vs the reference transcript truth.  NOT asserted to be
    zero: the dtype policy's accuracy cost is measured, not assumed.
 
-Writes PARITY_FULLSIZE_r04.json at the repo root.
+Writes PARITY_FULLSIZE_r05.json at the repo root.
 
 Usage:
   python tools/parity_fullsize.py [--n-utts 50] [--frames 200]
@@ -46,6 +46,12 @@ sys.path.insert(0, REPO)
 EP = 9
 V = 10000
 FEAT = 80
+# token ids shared by the vocab writer, the reference model nudge and the
+# conf (ADVICE r4: keep them in one place so a drift cannot silently change
+# what the parity run exercises)
+BLANK_ID = 0
+UNK_ID = 1
+EOS_ID = 2
 
 
 def P(**kw):
@@ -103,7 +109,7 @@ def _corpus(workdir, n_utts, frames, seed=0):
     pd.DataFrame(rows).to_csv(tsv, sep="\t", index=False)
     vocab = os.path.join(workdir, "vocab.txt")
     with open(vocab, "w", encoding="utf-8") as f:
-        f.write("<blank> 0\n<unk> 1\n<eos> 2\n")
+        f.write(f"<blank> {BLANK_ID}\n<unk> {UNK_ID}\n<eos> {EOS_ID}\n")
         for i in range(3, V):
             f.write(f"▁w{i} {i}\n")
     return tsv, vocab, feats, [r["utt_id"] for r in rows], rows
@@ -232,7 +238,7 @@ def main():
     torch.manual_seed(100)
     ref = RefASR(
         P(
-            blank_id=0, eos_id=2, kd_weight=0.0, mtl_phone_ctc_weight=0.0,
+            blank_id=BLANK_ID, eos_id=EOS_ID, kd_weight=0.0, mtl_phone_ctc_weight=0.0,
             mtl_inter_ctc_weight=0.0, lsm_prob=0.0,
             loss_normalize_length=False, loss_normalize_batch=True,
             max_decode_ylen=MAX_YLEN, num_framestacks=1, **ASR_KW,
@@ -250,8 +256,8 @@ def main():
     # blank-dominated) and the decoder's eos logit makes both sides
     # produce real multi-token hyps; parity is still hyp-for-hyp exact.
     with torch.no_grad():
-        ref.decoder.ctc.output.bias[0] += 9.0   # blank
-        ref.decoder.output.bias[2] += 5.5       # eos
+        ref.decoder.ctc.output.bias[BLANK_ID] += 9.0
+        ref.decoder.output.bias[EOS_ID] += 5.5
     torch.manual_seed(101)
     ref_lm = RefLM(P(lm_type="transformer", **LM_KW), phase="test").eval()
 
@@ -270,7 +276,7 @@ def main():
         ref_lm.state_dict(), os.path.join(lm_ckpt_dir, f"model.ep{EP}")
     )
     with open(os.path.join(wd, "lm.yaml"), "w") as f:
-        yaml.safe_dump(dict(LM_KW, lm_type="transformer", eos_id=2), f)
+        yaml.safe_dump(dict(LM_KW, lm_type="transformer", eos_id=EOS_ID), f)
 
     # ---- reference fused beam, batch-1 (asr/test_asr.py:38-63) ----
     ref_json = os.path.join(wd, "ref_hyps.json")
@@ -360,6 +366,8 @@ def main():
         "bf16_wer_vs_f32_hyps": round(bf16_vs_f32_wer, 4),
         "bf16_wer_vs_truth": bf16["wer"],
         "bf16_wer_delta_vs_truth": round(bf16["wer"] - f32_out[2], 4),
+        # r4 alias kept one round for cross-round tooling (ADVICE r4)
+        "bf16_wer_delta": round(bf16["wer"] - f32_out[2], 4),
         "bf16_platform": bf16.get("device_kind", bf16.get("platform")),
         "f32_note": "our f32 ran CPU-pinned with HIGHEST matmul "
                     "precision (true f32); reference ran torch CPU f32",
@@ -371,8 +379,14 @@ def main():
                      "agree 50/50 under any true-f32 pipeline (torch "
                      "vs jax CPU above)",
     }
-    out_path = os.path.join(REPO, "PARITY_FULLSIZE_r04.json")
-    json.dump(report, open(out_path, "w"), indent=1)
+    out_path = os.path.join(REPO, "PARITY_FULLSIZE_r05.json")
+    # merge: tools/parity_trained.py writes trained_* entries into the
+    # same file; neither tool may clobber the other's results
+    merged = {}
+    if os.path.exists(out_path):
+        merged = json.load(open(out_path))
+    merged.update(report)
+    json.dump(merged, open(out_path, "w"), indent=1)
     print(json.dumps(report, indent=1))
     print(f"written: {out_path}")
 

@@ -77,7 +77,16 @@ def main():
     from emoasr_tpu.search.common import LMFusion, make_lm_fusion
     from emoasr_tpu.utils.precision import cast_floating
 
-    ab.FORCE_FULL_STEPS = True
+    # scoped: trace-time knob; restore on exit so an in-process caller
+    # (tests importing this module's main) is not silently pinned to the
+    # step cap afterwards (ADVICE r4)
+    import contextlib
+
+    ctx = ab.force_full_steps(True)
+    ctx.__enter__()
+    import atexit
+
+    atexit.register(lambda: ctx.__exit__(None, None, None))
 
     if args.tiny:
         B, W, V, S, T, E = 2, 3, 64, 8, 17, 32
@@ -267,10 +276,14 @@ def main():
     print("| variant | ms | ms/step | delta vs full (= component cost) |")
     print("|---|---|---|---|")
     for n in compiled:
-        d = med.get("full", med[n]) - med[n]
+        if "full" in med:
+            d = med["full"] - med[n]
+            delta = f"{d * 1e3:.1f} ms ({d * 1e3 / S:.3f}/step)"
+        else:
+            delta = "n/a (full variant not run)"
         print(
             f"| {n} | {med[n] * 1e3:.1f} | {med[n] * 1e3 / S:.3f} "
-            f"| {d * 1e3:.1f} ms ({d * 1e3 / S:.3f}/step) |"
+            f"| {delta} |"
         )
 
 

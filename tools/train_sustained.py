@@ -69,13 +69,17 @@ def main():
     ap.add_argument("--steps", type=int, default=500)
     ap.add_argument("--out", default="/tmp/sustained")
     ap.add_argument("--n_utts", type=int, default=1500)
-    ap.add_argument("--family", default="l1", choices=["l1", "t5"],
+    ap.add_argument("--family", default="l1",
+                    choices=["l1", "t5", "l33"],
                     help="l1 = CTC(Transformer); t5 = Conformer "
                          "transducer (Pallas joint + fused LSTM), "
-                         "held-out decode via the ALSD beam")
+                         "held-out decode via the ALSD beam; l33 = "
+                         "Conformer + Transformer decoder with joint "
+                         "CTC (the flagship L3-3 mode sans LM), "
+                         "held-out decode via the label-sync beam")
     ap.add_argument("--beam", type=int, default=None,
                     help="decode beam width (default: 0 for l1, 10 "
-                         "for t5)")
+                         "for t5/l33)")
     args = ap.parse_args()
 
     import jax
@@ -113,6 +117,15 @@ def main():
             dropout_dec_rate=0.1, dropout_emb_rate=0.1,
             max_decode_ylen=24,
         )
+    elif args.family == "l33":
+        conf = dict(
+            common, encoder_type="conformer", pos_encode_type="rel",
+            decoder_type="transformer", enc_intermediate_size=1024,
+            dec_hidden_size=256, dec_num_attention_heads=4,
+            dec_num_layers=6, dec_intermediate_size=1024,
+            mtl_ctc_weight=0.3, dropout_dec_rate=0.1,
+            max_decode_ylen=24, decode_ctc_weight=0.3, len_weight=2.0,
+        )
     else:
         conf = dict(
             common, encoder_type="transformer", decoder_type="ctc",
@@ -138,22 +151,40 @@ def main():
         args.out, f"{args.family}_sustained/checkpoints/model.ep*"
     ))
     wer = None
+    n_decoded = n_utts = None
     beam = args.beam if args.beam is not None else (
-        10 if args.family == "t5" else 0
+        0 if args.family == "l1" else 10
     )
     if ckpts:
         ep = sorted(int(c.rsplit("ep", 1)[1]) for c in ckpts)[-1]
-        targs = build_argparser().parse_args(
-            ["-conf", conf_path, "-ep", str(ep), "--beam_width", str(beam)]
-        )
+        argv = ["-conf", conf_path, "-ep", str(ep),
+                "--beam_width", str(beam)]
+        if args.family == "l33":
+            argv += ["--decode_ctc_weight", "0.3", "--len_weight", "2.0"]
+        targs = build_argparser().parse_args(argv)
         out = test_main(targs)
         if out is not None:
             wer = out[2]
+            # decoded-utterance count from the result TSV (VERDICT r4
+            # #2: trained weights must not hit the cannot-decode storm)
+            from emoasr_tpu.utils.paths import get_results_dir
+            import glob as _g
+
+            tsvs = _g.glob(os.path.join(
+                get_results_dir(conf_path), "result_*.tsv"
+            ))
+            if tsvs:
+                df = pd.read_table(
+                    max(tsvs, key=os.path.getmtime), comment="#"
+                )
+                n_utts = int(len(df))
+                n_decoded = int(df["token_id"].notna().sum())
 
     print(json.dumps(dict(
         family=args.family, steps=steps, wall_s=round(wall, 1),
         steps_per_s=round(steps / wall, 2),
         skipped=int(state.skipped), beam=beam, wer=wer,
+        n_decoded=n_decoded, n_utts=n_utts,
     )))
 
 
