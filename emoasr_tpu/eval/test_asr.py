@@ -197,11 +197,11 @@ def decode_dataset(
     Three overlapped stages (the reference's loop — and ours through
     round 4 — was fully serial, `asr/test_asr.py:38-63`):
 
-      1. a producer thread collates batch N+1 (np.load IO + numpy pad,
-         both GIL-releasing) and starts its H2D transfer
-         (`jax.device_put` is async), while
-      2. the main thread dispatches the jitted decode of batch N
-         (dispatch returns before the device finishes), and
+      1. a producer thread collates batch N+1 (np.load IO + numpy pad
+         + host dtype cast, all numpy/GIL-releasing), while
+      2. the main thread device_puts + dispatches the jitted decode of
+         batch N (both async — they return before the transfer/compute
+         finish), and
       3. fetches + post-processes batch N-1, whose device->host copy
          was started right after its dispatch (`copy_to_host_async`).
 
@@ -215,7 +215,7 @@ def decode_dataset(
     bit-identical and the H2D bytes halve.
 
     `timing`, when given, accumulates per-phase seconds
-    ({collate_put, dispatch, fetch, postproc}) for diagnosis tools.
+    ({collate, dispatch, fetch, postproc}) for diagnosis tools.
 
     `sharding`, when given (a batch-axis NamedSharding over a mesh),
     data-parallelizes every decode over the mesh: inputs land sharded
@@ -246,25 +246,23 @@ def decode_dataset(
     err: list = []
 
     def producer():
+        # numpy/IO ONLY in this thread (np.load + pad release the GIL);
+        # every jax call stays on the main thread — device_put is async,
+        # so the H2D transfer still overlaps the previous batch's device
+        # compute, and a flaky transport can only ever block ONE thread
         try:
             t_last = time.perf_counter()
             for batch in dataset.batches(batcher):
-                xs = batch["xs"]
                 if host_dtype is not None:
-                    xs = xs.astype(host_dtype)
-                shd = sharding
-                if shd is not None and xs.shape[0] % shd.num_devices:
-                    shd = None  # tail bucket not divisible: replicate
-                xs = jax.device_put(xs, shd)
-                xlens = jax.device_put(batch["xlens"], shd)
+                    batch["xs"] = batch["xs"].astype(host_dtype)
                 if timing is not None:
                     t_now = time.perf_counter()
-                    timing["collate_put"] = (
-                        timing.get("collate_put", 0.0) + t_now - t_last
+                    timing["collate"] = (
+                        timing.get("collate", 0.0) + t_now - t_last
                     )
                 while not stop.is_set():
                     try:
-                        q.put((batch, xs, xlens), timeout=0.2)
+                        q.put(batch, timeout=0.2)
                         break
                     except queue.Full:
                         continue
@@ -313,8 +311,13 @@ def decode_dataset(
                 if err:
                     raise err[0]
                 break
-            batch, xs, xlens = item
+            batch = item
             t0 = time.perf_counter()
+            shd = sharding
+            if shd is not None and batch["xs"].shape[0] % shd.num_devices:
+                shd = None  # tail bucket not divisible: replicate
+            xs = jax.device_put(batch["xs"], shd)
+            xlens = jax.device_put(batch["xlens"], shd)
             out = decode_fn(xs, xlens)
             out = list(out)
             for o in out:
@@ -372,9 +375,26 @@ def test_main(args, lm_weight=None, len_weight=None):
     # compile (the reference fans grid points to CPU pool workers instead,
     # fusion/test_fusion_grid.py:41-49)
     has_lm = lm_weight > 0
+
+    # --dp: data-parallel eval over ALL visible devices (GSPMD over the
+    # batch axis; dispatches/fetches unchanged — inputs land sharded,
+    # parameters replicated over the same mesh).  Multi-chip analogue of
+    # the reference's CPU pool fan-out (fusion/test_fusion_grid.py:41-49).
+    sharding = repl = None
+    if getattr(args, "dp", False) and len(jax.devices()) > 1:
+        from emoasr_tpu.parallel.mesh import (
+            data_sharding, make_mesh, replicated,
+        )
+
+        mesh = make_mesh((len(jax.devices()),), ("data",), jax.devices())
+        sharding = data_sharding(mesh)
+        repl = replicated(mesh)
+        logging.info(f"data-parallel eval over {mesh}")
+
     setup_key = (
         args.conf, str(args.ep), beam_width, decode_ctc_weight,
         args.lm_conf, args.lm_ep, args.decode_phone, has_lm,
+        sharding is not None,
     )
     cached = _SETUP_CACHE.get(setup_key)
     if cached is None:
@@ -384,6 +404,8 @@ def test_main(args, lm_weight=None, len_weight=None):
         logging.info(f"ASR: {model_path}")
         model = ASR(cfg)
         variables = load_asr_variables(model_path, cfg)
+        if repl is not None:
+            variables = jax.device_put(variables, repl)
 
         lm_fusion = None
         lm_tag = ""
@@ -396,6 +418,8 @@ def test_main(args, lm_weight=None, len_weight=None):
             )
             logging.info(f"LM: {lm_path}")
             lm_model, lm_vars, lm_cfg = load_lm(lm_conf, lm_path)
+            if repl is not None:
+                lm_vars = jax.device_put(lm_vars, repl)
             lm_fusion = make_lm_fusion(lm_model, lm_vars, lm_weight)
             lm_tag = lm_cfg.lm_type if args.lm_tag is None else args.lm_tag
 
@@ -408,17 +432,6 @@ def test_main(args, lm_weight=None, len_weight=None):
         _SETUP_CACHE[setup_key] = cached
     base_decode_fn, lm_tag = cached
     decode_fn = base_decode_fn.with_weights(lm_weight, len_weight)
-
-    # --dp: data-parallel eval over ALL visible devices (GSPMD over the
-    # batch axis; dispatches/fetches unchanged — inputs just land
-    # sharded).  Multi-chip analogue of the reference's CPU pool fan-out.
-    sharding = None
-    if getattr(args, "dp", False) and len(jax.devices()) > 1:
-        from emoasr_tpu.parallel.mesh import data_sharding, make_mesh
-
-        mesh = make_mesh((len(jax.devices()),), ("data",), jax.devices())
-        sharding = data_sharding(mesh)
-        logging.info(f"data-parallel eval over {mesh}")
 
     data_path = get_eval_path(args.data)
     data_tag = (

@@ -308,13 +308,24 @@ def main():
         print(f"ref decode total {time.perf_counter() - t0:.0f}s")
 
     # ---- ours, f32 (CPU, HIGHEST precision) through the real CLI ----
-    t0 = time.perf_counter()
-    f32_hyps, f32_out = _run_cli(
-        os.path.join(wd, "l33_f32.yaml"),
-        _cli_argv(os.path.join(wd, "lm.yaml")),
-    )
-    f32_wall = time.perf_counter() - t0
-    print(f"our f32 CLI decode: {f32_wall:.0f}s, WER {f32_out[2]}")
+    # cached like ref_hyps: the bf16 phase crosses a flaky remote-TPU
+    # transport, so reruns after a transport wedge must not repay the
+    # CPU beam compile
+    f32_json = os.path.join(wd, "f32_hyps.json")
+    if args.skip_ref and os.path.exists(f32_json):
+        blob = json.load(open(f32_json))
+        f32_hyps, f32_out = blob["hyps"], tuple(blob["out"])
+        f32_wall = 0.0
+    else:
+        t0 = time.perf_counter()
+        f32_hyps, f32_out = _run_cli(
+            os.path.join(wd, "l33_f32.yaml"),
+            _cli_argv(os.path.join(wd, "lm.yaml")),
+        )
+        f32_wall = time.perf_counter() - t0
+        json.dump({"hyps": f32_hyps, "out": list(f32_out)},
+                  open(f32_json, "w"))
+        print(f"our f32 CLI decode: {f32_wall:.0f}s, WER {f32_out[2]}")
 
     f32_mismatch = [
         (u, ref_hyps[u], f32_hyps[u])

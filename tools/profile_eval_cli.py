@@ -7,9 +7,10 @@ synthetically — an ~89x host tax.  This tool builds the exact bench
 real test_asr CLI) and reports the per-phase seconds that
 `decode_dataset(timing=...)` accumulates:
 
-  collate_put  producer thread: np.load + pad + host bf16 cast + H2D
-               device_put (overlapped with device compute)
-  dispatch     main thread: jitted decode dispatch (async)
+  collate      producer thread: np.load + pad + host bf16 cast
+               (overlapped with device compute)
+  dispatch     main thread: async H2D device_put + jitted decode
+               dispatch
   fetch        np.asarray of the previous batch's outputs (D2H)
   postproc     numpy eos-strip + detok + row building
 
