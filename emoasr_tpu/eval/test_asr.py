@@ -272,10 +272,16 @@ def decode_dataset(
         except BaseException as e:  # noqa: BLE001 — re-raised in consumer
             err.append(e)
         finally:
-            try:
-                q.put(None, timeout=0.2)
-            except queue.Full:
-                pass
+            # the end-of-stream sentinel must RETRY like the batch puts:
+            # a single timed put is dropped whenever the queue is still
+            # full of undispatched batches (consumer mid-compile), and
+            # the consumer then waits on q.get() forever
+            while not stop.is_set():
+                try:
+                    q.put(None, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()

@@ -165,3 +165,48 @@ def test_eval_cli_nbest_and_runtime(corpus):
     assert len(runtimes) == 1 and len(rtfs) == 1
     assert rtfs[0] > 0
     assert n_decoded == 4  # every runtime utt produced a hypothesis
+
+
+def test_decode_dataset_slow_consumer_terminates(corpus):
+    """Regression: the producer's end-of-stream sentinel must survive a
+    full queue.  With more batches than queue slots and a consumer
+    slower than the producer (here: an artificial sleep standing in for
+    a long jit compile), the pre-fix loop dropped the final None after
+    one 0.2 s timed put and the consumer blocked on q.get() forever."""
+    import threading
+    import time as _time
+
+    from emoasr_tpu.config import config_from_dict
+    from emoasr_tpu.data.asr_dataset import ASRDataset
+    from emoasr_tpu.eval import test_asr as ta
+    from emoasr_tpu.utils.vocab import Vocab
+
+    tmp, tsv, vocab_path = corpus
+    conf = dict(
+        encoder_type="transformer", decoder_type="ctc",
+        input_layer="linear", feat_dim=8, enc_hidden_size=16,
+        enc_num_attention_heads=2, enc_num_layers=1,
+        enc_intermediate_size=32, vocab_size=20, vocab_path=vocab_path,
+        test_path=tsv, buckets=[[64, 16]], batch_size=2,  # 6 utts -> 3 batches
+        max_xlens_batch=256, max_ylens_batch=64,
+    )
+    cfg = config_from_dict(conf)
+    dataset = ASRDataset(cfg, tsv, phase="test")
+    vocab = Vocab(vocab_path)
+
+    def slow_decode(xs, xlens):
+        _time.sleep(1.0)  # > 2 batches x producer time + sentinel window
+        B = xs.shape[0]
+        hyps = jnp.full((B, 3), 3, jnp.int32)
+        return hyps, jnp.full((B,), 3, jnp.int32), jnp.zeros((B,))
+
+    done = {}
+
+    def run():
+        done["rows"] = ta.decode_dataset(cfg, dataset, slow_decode, vocab)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=60)
+    assert not t.is_alive(), "decode_dataset deadlocked on a slow consumer"
+    assert len(done["rows"]) == 6
