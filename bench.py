@@ -262,7 +262,8 @@ def main():
     # ---------------- decode machinery ----------------
     _var_cache = {}
 
-    def decode_rtf(cfg_kw, B, T, beam_width, beam_kw, lm=None, n=3):
+    def decode_rtf(cfg_kw, B, T, beam_width, beam_kw, lm=None, n=3,
+                   variables_tweak=None, want_n_decoded=False):
         cfg = config_from_dict(cfg_kw)
         model = ASR(cfg)
         xs = jax.jit(lambda k: jax.random.normal(k, (B, T, 80)))(key)
@@ -275,6 +276,9 @@ def main():
                 jnp.ones((B, 5), jnp.int32),
             )
         v = _var_cache[ck]
+        if variables_tweak is not None:
+            # shallow-copied tree: the cached variables stay pristine
+            v = variables_tweak(jax.tree_util.tree_map(lambda x: x, v))
         np.asarray(xs[0, 0, :1])
         dec = build_decode_fn(
             model, v, cfg, beam_width=beam_width, lm=lm, **beam_kw
@@ -294,21 +298,33 @@ def main():
         mfu = (
             round(flops / dt / (peak_tflops * 1e12), 4) if flops else None
         )
-        return dt / (B * T * FRAME_SHIFT_S), mfu
+        n_decoded = None
+        if want_n_decoded:
+            scores = np.asarray(dec(xs, xlens)[2])
+            n_decoded = (
+                int((scores[:, 0] > -1e29).sum()) if scores.ndim == 2 else B
+            )
+        return dt / (B * T * FRAME_SHIFT_S), mfu, n_decoded
 
     def decode_row(metric, cfg_kw, T, beam_width, beam_kw, batches,
-                   ref_key, lm=None, n=3, extra=None):
+                   ref_key, lm=None, n=3, extra=None,
+                   variables_tweak=None, want_n_decoded=False):
         """Sweep batch to saturation; report RTF + utts/sec/chip
         (BASELINE.json's north-star metric) at the best point."""
         sweep = []
         for B in batches:
-            rtf, mfu = decode_rtf(cfg_kw, B, T, beam_width, beam_kw, lm=lm, n=n)
+            rtf, mfu, nd = decode_rtf(
+                cfg_kw, B, T, beam_width, beam_kw, lm=lm, n=n,
+                variables_tweak=variables_tweak,
+                want_n_decoded=want_n_decoded,
+            )
             sweep.append(
                 dict(
                     batch=B,
                     rtf=round(rtf, 6),
                     utts_per_s_per_chip=round(1.0 / (rtf * T * FRAME_SHIFT_S), 2),
                     mfu=mfu,
+                    **({"n_decoded": nd} if nd is not None else {}),
                 )
             )
         best = min(sweep, key=lambda c: c["rtf"])
@@ -557,9 +573,9 @@ def main():
         )
         decode_row(
             "att_joint_sf_rtf_L3_3", dict(L3, **BF16), DEC_T, 10,
-            {"len_weight": 2.0, "decode_ctc_weight": 0.3},
+            {"len_weight": 2.0, "decode_ctc_weight": 0.3, "top1": True},
             batches=sweep_batches([16, 64]), ref_key="att_beam10_ctc_L3",
-            lm=fusion, n=2,
+            lm=fusion, n=2, want_n_decoded=True,
             extra={
                 "fusion_mode": "indirect (auto-selected)",
                 "dec_step_mode": "indirect (auto-selected)",
@@ -567,6 +583,14 @@ def main():
                 "baseline_src": "measured_ref_cpu_no_sf",
                 "note": "reference baseline measured WITHOUT SF (its "
                         "fusion would only be slower); conservative. "
+                        "r5: production top-1 protocol (admissible "
+                        "early stop + CTC-len row caps, exact — "
+                        "search/attention_beam.py); on this UNTRAINED "
+                        "checkpoint beams never finalize early, so trip "
+                        "counts (and comparability with best_prior) are "
+                        "unchanged — the mechanism's wins show on the "
+                        "eval_cli/trained rows.  n_decoded now == batch "
+                        "via forced finalization at the row cap. "
                         + DTYPE_NOTE,
             },
         )

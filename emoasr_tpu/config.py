@@ -179,6 +179,15 @@ class ExpConfig:
     decode_ctc_weight: float = 0.0
     lm_weight: float = 0.0
     decode_phone: bool = False
+    # CTC-length-informed per-utterance decode-step budget for the
+    # attention beam (search/attention_beam.py `row_caps`): cap =
+    # ratio * (collapsed CTC greedy length) + margin.  "auto" enables it
+    # when joint CTC scoring is on (the estimate is free there); "on" /
+    # "off" force.  Rows at budget force-finalize their surviving beams,
+    # so every utterance yields a hypothesis.
+    decode_len_cap: str = "auto"
+    decode_cap_ratio: float = 1.5
+    decode_cap_margin: int = 12
 
     # ---- error correction ----
     mask_th: float = 0.0

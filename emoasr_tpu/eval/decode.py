@@ -27,6 +27,63 @@ from emoasr_tpu.search.rnnt_beam import rnnt_beam_search
 from emoasr_tpu.train.step import preprocess
 
 
+def ctc_len_caps(
+    cfg: ExpConfig, ctc_log_probs: jnp.ndarray, elens: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-utterance decode-step budget from the collapsed CTC greedy
+    length: cap = ratio * est + margin (clamped to max_decode_ylen).
+
+    The collapsed-argmax estimate is the CTC greedy decode's length
+    (`/root/reference/asr/modeling/decoders/ctc.py:176-201` semantics)
+    computed with three elementwise ops — free when joint-CTC log-probs
+    are already on device."""
+    am = jnp.argmax(ctc_log_probs, axis=-1)  # (B, T)
+    prev = jnp.pad(am[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+    T = am.shape[1]
+    valid = jnp.arange(T)[None, :] < elens[:, None]
+    est = jnp.sum(
+        (am != cfg.blank_id) & (am != prev) & valid, axis=1
+    ).astype(jnp.float32)
+    return jnp.clip(
+        jnp.ceil(cfg.decode_cap_ratio * est) + cfg.decode_cap_margin,
+        1,
+        cfg.max_decode_ylen,
+    ).astype(jnp.int32)
+
+
+def _pack_outputs(hyps, hyp_lens, scores):
+    """Pack (hyps, hyp_lens, scores) into ONE (B, W, L+2) int32 array so
+    a decode batch costs a single device->host fetch (scores carried as
+    f32 bit patterns).  Greedy (B, L) outputs become W=1."""
+    if hyps.ndim == 2:
+        hyps, hyp_lens, scores = (
+            hyps[:, None], hyp_lens[:, None], scores[:, None]
+        )
+    bits = jax.lax.bitcast_convert_type(
+        scores.astype(jnp.float32), jnp.int32
+    )
+    return jnp.concatenate(
+        [
+            hyps.astype(jnp.int32),
+            hyp_lens.astype(jnp.int32)[..., None],
+            bits[..., None],
+        ],
+        axis=-1,
+    )
+
+
+def unpack_outputs(arr):
+    """Host-side inverse of `_pack_outputs` on the fetched numpy array:
+    (B, W, L+2) int32 -> (hyps (B,W,L), hyp_lens (B,W), scores (B,W))."""
+    import numpy as np
+
+    return (
+        arr[..., :-2],
+        arr[..., -2],
+        arr[..., -1].view(np.float32),
+    )
+
+
 def build_decode_fn(
     model: ASR,
     variables,
@@ -36,12 +93,23 @@ def build_decode_fn(
     decode_ctc_weight: float = 0.0,
     lm: Optional[LMFusion] = None,
     decode_phone: bool = False,
+    top1: bool = False,
 ) -> Callable:
     """Returns jitted fn(xs, xlens) -> (hyps, hyp_lens, scores).
 
     hyps carry framing eos tokens for beam modes (host strips); greedy
     returns collapsed label sequences directly with scores = None-like
     zeros.
+
+    `top1=True` (every eval mode except --nbest) lets the attention
+    beam stop a row as soon as its stored best is provably unbeatable
+    (exact for the returned hypothesis — see attention_beam_search
+    `need_results`).
+
+    The returned callable also exposes `packed(xs, xlens)` -> one
+    (B, W, L+2) int32 device array (see `_pack_outputs`) + host
+    `unpack`: the pipelined eval loop fetches ONE array per batch
+    instead of three (each fetch pays a transport round trip).
     """
     from emoasr_tpu.utils.precision import cast_floating, dtype_of, is_half
 
@@ -77,6 +145,9 @@ def build_decode_fn(
         bench.py.
         """
         jitted = jax.jit(fn)
+        jitted_packed = jax.jit(
+            lambda v, w, xs, xlens: _pack_outputs(*fn(v, w, xs, xlens))
+        )
         w0 = _weights()
 
         def call(xs, xlens):
@@ -88,10 +159,20 @@ def build_decode_fn(
             return lambda xs, xlens: compiled(variables, w0, xs, xlens)
 
         call.bind_compiled = call_compiled
+        call.packed = lambda xs, xlens: jitted_packed(variables, w0, xs, xlens)
+        call.unpack = unpack_outputs
 
         def with_weights(lm_w=None, len_w=None):
             w = _weights(len_w, lm_w)
-            return lambda xs, xlens: jitted(variables, w, xs, xlens)
+
+            def bound(xs, xlens):
+                return jitted(variables, w, xs, xlens)
+
+            bound.packed = lambda xs, xlens: jitted_packed(
+                variables, w, xs, xlens
+            )
+            bound.unpack = unpack_outputs
+            return bound
 
         call.with_weights = with_weights
 
@@ -251,6 +332,28 @@ def build_decode_fn(
                 )
                 ctc_lp = jax.nn.log_softmax(ctc_logits.astype(jnp.float32), -1)
 
+            row_caps = None
+            if cfg.decode_len_cap == "on" or (
+                cfg.decode_len_cap == "auto" and ctc_lp is not None
+            ):
+                if ctc_lp is not None:
+                    row_caps = ctc_len_caps(cfg, ctc_lp, elens)
+                elif cfg.mtl_ctc_weight > 0:
+                    # aux CTC head exists even when joint scoring is off
+                    cl = model.apply(
+                        variables, eouts,
+                        method=lambda m, e: m.decoder.ctc.logits(e),
+                    )
+                    row_caps = ctc_len_caps(
+                        cfg,
+                        jax.nn.log_softmax(cl.astype(jnp.float32), -1),
+                        elens,
+                    )
+                else:
+                    # no CTC head: an utterance cannot emit more tokens
+                    # than encoder frames
+                    row_caps = elens.astype(jnp.int32)
+
             return attention_beam_search(
                 eouts, elens, None,
                 vocab_size=cfg.vocab_size,
@@ -267,6 +370,8 @@ def build_decode_fn(
                     if step_indirect_fn is not None
                     else (init_cache_fn, step_cached_fn)
                 ),
+                row_caps=row_caps,
+                need_results=1 if top1 else None,
             )
 
         return _wrap(decode_att_beam)

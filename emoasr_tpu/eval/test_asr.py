@@ -294,10 +294,18 @@ def decode_dataset(
     pending: List[tuple] = []  # [(batch, device outputs)]
     n_done = [0]  # utterances post-processed (num_samples counts utts)
 
+    # packed protocol (eval/decode.py): the decode returns ONE
+    # (B, W, L+2) int32 array, so a batch costs a single D2H fetch
+    # (three np.asarray fetches each paid a transport round trip)
+    use_packed = hasattr(decode_fn, "packed")
+
     def drain_one():
         batch, out = pending.pop(0)
         t0 = time.perf_counter()
-        hyps, hyp_lens, scores = map(np.asarray, out)
+        if use_packed:
+            hyps, hyp_lens, scores = decode_fn.unpack(np.asarray(out[0]))
+        else:
+            hyps, hyp_lens, scores = map(np.asarray, out)
         _phase("fetch", t0)
         t0 = time.perf_counter()
         new, n_utts = _postproc_batch(
@@ -324,8 +332,11 @@ def decode_dataset(
                 shd = None  # tail bucket not divisible: replicate
             xs = jax.device_put(batch["xs"], shd)
             xlens = jax.device_put(batch["xlens"], shd)
-            out = decode_fn(xs, xlens)
-            out = list(out)
+            out = (
+                [decode_fn.packed(xs, xlens)]
+                if use_packed
+                else list(decode_fn(xs, xlens))
+            )
             for o in out:
                 try:
                     o.copy_to_host_async()
@@ -397,10 +408,15 @@ def test_main(args, lm_weight=None, len_weight=None):
         repl = replicated(mesh)
         logging.info(f"data-parallel eval over {mesh}")
 
+    # top-1 decoding everywhere except --nbest: the attention beam may
+    # stop a row once its stored best is provably unbeatable (exact for
+    # the returned hypothesis — eval/decode.py `top1`)
+    top1 = not args.nbest
+
     setup_key = (
         args.conf, str(args.ep), beam_width, decode_ctc_weight,
         args.lm_conf, args.lm_ep, args.decode_phone, has_lm,
-        sharding is not None,
+        sharding is not None, top1,
     )
     cached = _SETUP_CACHE.get(setup_key)
     if cached is None:
@@ -431,7 +447,7 @@ def test_main(args, lm_weight=None, len_weight=None):
 
         base_decode_fn = build_decode_fn(
             model, variables, cfg, beam_width, len_weight, decode_ctc_weight,
-            lm_fusion, args.decode_phone,
+            lm_fusion, args.decode_phone, top1=top1,
         )
         cached = (base_decode_fn, lm_tag)
         _SETUP_CACHE.clear()  # hold at most one heavy setup

@@ -97,6 +97,8 @@ def attention_beam_search(
     ctc_log_probs: Optional[jnp.ndarray] = None,
     max_decode_ylen: int = 256,
     cached_step: Optional[Tuple[Callable, Callable]] = None,
+    row_caps: Optional[jnp.ndarray] = None,
+    need_results: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Label-sync beam search over a batch.
 
@@ -108,12 +110,39 @@ def attention_beam_search(
     re-encoding the whole prefix); caches are beam-gathered on pruning.
     Returns (hyps (B, W, Lmax) WITHOUT eos framing trimmed — leading eos
     kept, internal eos possible — lens, scores), results best-first.
+
+    `row_caps` (B,) int32, optional: per-utterance decode-step budget
+    (e.g. CTC-length-informed, eval/decode.py::ctc_len_caps).  A row
+    reaching its cap force-finalizes every surviving beam (score + the
+    same length bonus natural eos finalization gets) instead of running
+    to the global step cap — so a row whose beams never emit a viable
+    eos (the r4 `cannot decode` regime) still returns its best live
+    hypotheses, and the batched loop's trip count is bounded by the
+    slowest row's LENGTH ESTIMATE rather than `max_decode_ylen`.
+
+    `need_results`, optional (default W): a row stops once this many
+    results are stored AND no live beam can still beat the stored best.
+    With 1 (top-1 decoding — everything except --nbest), the stop is
+    EXACT for the returned best hypothesis: every per-step score
+    increment is <= 0 (att/LM log-probs, CTC prefix-score deltas), the
+    only positive term is the finalization bonus len_weight*len, so a
+    live beam (score s, len l, r steps of row budget left) can never
+    finalize above s + len_weight*l + max(len_weight, 0)*r.  The
+    reference (transformer.py:264-287) always collects beam_width
+    results — for top-1 decoding, most of those steps compute results
+    that are then thrown away.
     """
     B, T, E = eouts.shape
     W = beam_width
     V = vocab_size
     Lmax = max_decode_ylen + 2
     use_ctc = decode_ctc_weight > 0
+    need = W if need_results is None else min(need_results, W)
+    caps = (
+        jnp.full((B,), max_decode_ylen, jnp.int32)
+        if row_caps is None
+        else jnp.minimum(row_caps.astype(jnp.int32), max_decode_ylen)
+    )
     # time-major-last table for the prefix scorer's per-candidate row
     # gather (one transpose per utterance batch, loop-invariant)
     ctc_lp_T = (
@@ -191,14 +220,36 @@ def attention_beam_search(
     b_idx = jnp.arange(B)[:, None]
     w_idx = jnp.arange(W)[None, :]
 
+    def rows_running(state: _State):
+        """(B,) rows still doing useful work; shared by the while-loop
+        condition and the body's freeze mask so they can never diverge."""
+        alive = state.scores > DEAD / 2
+        running = alive.any(axis=1) & (state.res_count < W)
+        if need < W:
+            # admissible top-1 stop (see docstring): bound on the best
+            # score any live beam could still finalize with
+            lw = jnp.float32(len_weight)
+            remaining = jnp.maximum(caps - state.step, 0).astype(jnp.float32)
+            live_pot = jnp.max(
+                jnp.where(
+                    alive,
+                    state.scores + lw * state.lens.astype(jnp.float32),
+                    DEAD,
+                ),
+                axis=1,
+            ) + jnp.maximum(lw, 0.0) * remaining
+            best_stored = jnp.max(state.res_scores, axis=1)
+            # 1e-4 slack: err toward running longer under float reordering
+            beatable = live_pot >= best_stored - 1e-4
+            running = running & ((state.res_count < need) | beatable)
+        return running
+
     def make_cond(step_cap: int):
         if FORCE_FULL_STEPS:
             return lambda state: state.step < step_cap
 
         def cond(state: _State):
-            active = (state.scores > DEAD / 2).any(axis=1)
-            running = active & (state.res_count < W)
-            return (state.step < step_cap) & running.any()
+            return (state.step < step_cap) & rows_running(state).any()
 
         return cond
 
@@ -207,7 +258,7 @@ def attention_beam_search(
 
     def body(state: _State, Lc: int):
         alive = state.scores > DEAD / 2  # (B, W)
-        row_active = alive.any(axis=1) & (state.res_count < W)  # (B,)
+        row_active = rows_running(state)  # (B,)
 
         flat_hyps = state.hyps.reshape(B * W, Lmax)
         flat_lens = jnp.maximum(state.lens.reshape(B * W), 1)
@@ -337,6 +388,18 @@ def attention_beam_search(
         ended = (tok == eos_id) & valid_new  # (B, W)
         # "only <eos>" (len_noeos < 1) hyps are rejected outright
         acceptable = ended & (new_lens > 2)
+        # rows at their per-utterance step budget force-finalize every
+        # surviving beam (best-effort hypotheses instead of running to
+        # the global cap and dying — the r4 `cannot decode` regime).
+        # Only with explicit row_caps: the bare search keeps the
+        # reference's semantics (a row that never emits a viable eos
+        # returns nothing, transformer.py:264-287).
+        if row_caps is not None:
+            at_cap = row_active & (state.step + 1 >= caps)  # (B,)
+            forced = at_cap[:, None] & valid_new & ~ended
+            acceptable = acceptable | forced
+        else:
+            at_cap = jnp.zeros((B,), bool)
         final_score = top_sc + len_weight * new_lens.astype(jnp.float32)
 
         # append accepted beams (already in descending score order) into
@@ -365,8 +428,11 @@ def attention_beam_search(
         )[:, :W]
         res_count = state.res_count + jnp.sum(can_store, axis=1)
 
-        # ended (accepted or rejected) beams leave the active set
-        cont_scores = jnp.where(ended | ~valid_new, DEAD, top_sc)
+        # ended (accepted or rejected) and budget-exhausted beams leave
+        # the active set
+        cont_scores = jnp.where(
+            ended | ~valid_new | at_cap[:, None], DEAD, top_sc
+        )
 
         new_state = _State(
             step=state.step + 1,

@@ -296,3 +296,198 @@ def test_topk_lastdim_matches_lax(shape, k):
     v_new, i_new = topk_lastdim(jnp.asarray(x), k)
     np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_new))
     np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_new))
+
+
+def test_row_caps_forced_finalization():
+    """A row whose beams never emit a viable eos must still return its
+    best live hypotheses, force-finalized at the per-row step budget
+    (the r4 `cannot decode` regime; VERDICT r4 #2)."""
+    dec = _ref_decoder(13)
+    with torch.no_grad():
+        dec.output.bias[2] -= 25.0  # eos never survives selection
+    mine, variables, cfg = _mine_from_ref(dec)
+    rng = np.random.default_rng(13)
+    B, T, W = 2, 8, 3
+    eouts = jnp.asarray(rng.normal(size=(B, T, 16)).astype(np.float32))
+    elens = jnp.asarray([8, 6])
+
+    def step_fn(h, l, eo, el):
+        emask = make_pad_mask(el, T)[:, None, None, :]
+        return mine.apply(
+            variables, h, l, eo, emask,
+            method=TransformerDecoder.forward_one_step,
+        )
+
+    caps = jnp.asarray([4, 6])
+    hyps, lens, scores = map(
+        np.asarray,
+        attention_beam_search(
+            eouts, elens, step_fn, vocab_size=V, beam_width=W,
+            len_weight=0.1, max_decode_ylen=12, row_caps=caps,
+        ),
+    )
+    # every row decodes; forced hyps carry exactly cap real tokens
+    # (+ the leading eos) and no internal eos
+    assert (scores[:, 0] > -1e29).all(), scores
+    for b, cap in enumerate([4, 6]):
+        n_res = int((scores[b] > -1e29).sum())
+        assert n_res == W  # all surviving beams were finalized
+        for w in range(n_res):
+            assert lens[b, w] == cap + 1
+            h = hyps[b, w, 1 : lens[b, w]]
+            assert (h != 2).all(), h
+    # scores best-first
+    assert (np.diff(scores[0][scores[0] > -1e29]) <= 1e-6).all()
+
+
+def test_global_cap_best_effort_guarantee():
+    """row_caps == max_decode_ylen still force-finalizes at the global
+    cap — every utterance yields a hypothesis (without row_caps the
+    search keeps the reference's cannot-decode semantics, pinned by
+    test_full_model_parity)."""
+    dec = _ref_decoder(17)
+    with torch.no_grad():
+        dec.output.bias[2] -= 25.0
+    mine, variables, cfg = _mine_from_ref(dec)
+    rng = np.random.default_rng(17)
+    B, T = 2, 8
+    eouts = jnp.asarray(rng.normal(size=(B, T, 16)).astype(np.float32))
+    elens = jnp.asarray([8, 6])
+
+    def step_fn(h, l, eo, el):
+        emask = make_pad_mask(el, T)[:, None, None, :]
+        return mine.apply(
+            variables, h, l, eo, emask,
+            method=TransformerDecoder.forward_one_step,
+        )
+
+    hyps, lens, scores = map(
+        np.asarray,
+        attention_beam_search(
+            eouts, elens, step_fn, vocab_size=V, beam_width=3,
+            len_weight=0.1, max_decode_ylen=12,
+            row_caps=jnp.asarray([12, 12]),
+        ),
+    )
+    assert (scores[:, 0] > -1e29).all(), scores
+    assert (lens[:, 0] == 13).all()  # leading eos + max_decode_ylen tokens
+
+    # without row_caps: reference semantics — these rows return nothing
+    _, _, scores_ref = map(
+        np.asarray,
+        attention_beam_search(
+            eouts, elens, step_fn, vocab_size=V, beam_width=3,
+            len_weight=0.1, max_decode_ylen=12,
+        ),
+    )
+    assert (scores_ref < -1e29).all(), scores_ref
+
+
+@pytest.mark.parametrize(
+    "seed,ctc_w,len_w", [(0, 0.0, 0.0), (5, 0.0, 0.3), (2, 0.3, 0.1)]
+)
+def test_top1_early_stop_exact(seed, ctc_w, len_w):
+    """need_results=1 (top-1 decoding) must return the SAME best
+    hypothesis and score as the full need_results=W search — the stop
+    rule is admissible (attention_beam_search docstring)."""
+    dec = _ref_decoder(seed)
+    with torch.no_grad():
+        dec.output.bias[2] += 1.0
+    mine, variables, cfg = _mine_from_ref(dec)
+    rng = np.random.default_rng(seed)
+    B, T, W = 3, 10, 4
+    eouts = jnp.asarray(rng.normal(size=(B, T, 16)).astype(np.float32))
+    elens = jnp.asarray([10, 7, 5])
+
+    def step_fn(h, l, eo, el):
+        emask = make_pad_mask(el, T)[:, None, None, :]
+        return mine.apply(
+            variables, h, l, eo, emask,
+            method=TransformerDecoder.forward_one_step,
+        )
+
+    ctc_lp = None
+    if ctc_w > 0:
+        logits_ctc = mine.apply(
+            variables, eouts, method=lambda m, e: m.ctc.logits(e)
+        )
+        ctc_lp = jax.nn.log_softmax(logits_ctc.astype(jnp.float32), -1)
+
+    def run(need):
+        return jax.tree_util.tree_map(
+            np.asarray,
+            attention_beam_search(
+                eouts, elens, step_fn, vocab_size=V, beam_width=W,
+                len_weight=len_w, decode_ctc_weight=ctc_w,
+                ctc_log_probs=ctc_lp, max_decode_ylen=12,
+                need_results=need,
+            ),
+        )
+
+    full = run(None)
+    top1 = run(1)
+    for b in range(B):
+        assert full[2][b, 0] > -1e29
+        np.testing.assert_allclose(
+            top1[2][b, 0], full[2][b, 0], rtol=1e-6, atol=1e-6
+        )
+        lf, lt = full[1][b, 0], top1[1][b, 0]
+        assert lf == lt
+        np.testing.assert_array_equal(
+            top1[0][b, 0, :lt], full[0][b, 0, :lf]
+        )
+
+
+def test_ctc_len_caps():
+    from emoasr_tpu.config import config_from_dict
+    from emoasr_tpu.eval.decode import ctc_len_caps
+
+    cfg = config_from_dict(
+        dict(
+            vocab_size=5, blank_id=0, max_decode_ylen=20,
+            decode_cap_ratio=1.5, decode_cap_margin=2,
+        )
+    )
+    # utt 0: argmax path 0 1 1 0 2 2 3 -> collapsed len 3
+    # utt 1: all blank within elen=3 -> est 0 -> cap = margin
+    lp = np.full((2, 7, 5), -10.0, np.float32)
+    path0 = [0, 1, 1, 0, 2, 2, 3]
+    for t, v in enumerate(path0):
+        lp[0, t, v] = 0.0
+    lp[1, :, 0] = 0.0
+    caps = np.asarray(
+        ctc_len_caps(cfg, jnp.asarray(lp), jnp.asarray([7, 3]))
+    )
+    assert caps[0] == int(np.ceil(1.5 * 3)) + 2
+    assert caps[1] == 2
+
+
+def test_packed_outputs_roundtrip():
+    from emoasr_tpu.eval.decode import _pack_outputs, unpack_outputs
+
+    rng = np.random.default_rng(0)
+    # beam shapes (B, W, L)
+    hyps = rng.integers(0, 30000, size=(3, 4, 9)).astype(np.int32)
+    lens = rng.integers(1, 10, size=(3, 4)).astype(np.int32)
+    scores = rng.normal(size=(3, 4)).astype(np.float32)
+    scores[1, 2] = -1e30  # DEAD must survive the bitcast exactly
+    packed = np.asarray(
+        _pack_outputs(jnp.asarray(hyps), jnp.asarray(lens), jnp.asarray(scores))
+    )
+    h, l, s = unpack_outputs(packed)
+    np.testing.assert_array_equal(h, hyps)
+    np.testing.assert_array_equal(l, lens)
+    np.testing.assert_array_equal(s, scores)
+    # greedy shapes (B, L) -> W=1
+    g_hyps = rng.integers(0, 100, size=(2, 6)).astype(np.int32)
+    g_lens = np.asarray([4, 6], np.int32)
+    g_scores = np.zeros((2,), np.float32)
+    packed = np.asarray(
+        _pack_outputs(
+            jnp.asarray(g_hyps), jnp.asarray(g_lens), jnp.asarray(g_scores)
+        )
+    )
+    h, l, s = unpack_outputs(packed)
+    assert h.shape == (2, 1, 6)
+    np.testing.assert_array_equal(h[:, 0], g_hyps)
+    np.testing.assert_array_equal(l[:, 0], g_lens)

@@ -210,3 +210,42 @@ def test_decode_dataset_slow_consumer_terminates(corpus):
     t.join(timeout=60)
     assert not t.is_alive(), "decode_dataset deadlocked on a slow consumer"
     assert len(done["rows"]) == 6
+
+
+def test_eval_cli_joint_ctc_all_utts_decoded(corpus):
+    """Flagship joint-CTC mode: every utterance must yield a hypothesis
+    even on a checkpoint whose beams never emit a viable eos (the r4
+    `cannot decode` storm) — the CTC-length row cap force-finalizes the
+    surviving beams (decode_len_cap auto; VERDICT r4 #2)."""
+    import jax.numpy as jnp
+
+    from emoasr_tpu.models.decoders.transformer import TransformerDecoder
+
+    tmp, tsv, vocab = corpus
+    conf = _write_conf(tmp, tsv, vocab, decoder="transformer")
+    # joint CTC needs the aux ctc head
+    d = yaml.safe_load(open(conf))
+    d["mtl_ctc_weight"] = 0.3
+    conf = os.path.join(tmp, "exp_joint_storm.yaml")
+    with open(conf, "w") as f:
+        yaml.safe_dump(d, f)
+    _save_ckpt(conf)
+    # push eos far down so it never survives selection
+    run_dir = os.path.splitext(conf)[0]
+    path = os.path.join(run_dir, "checkpoints", "model.ep1")
+    tree = ckpt.load_model(path)
+    b = tree["params"]["decoder"]["output"]["bias"]
+    tree["params"]["decoder"]["output"]["bias"] = (
+        jnp.asarray(b).at[2].add(-30.0)
+    )
+    ckpt.save_model(path, tree["params"], tree.get("batch_stats", {}))
+
+    args = build_argparser().parse_args(
+        [
+            "-conf", conf, "-ep", "1", "--beam_width", "3",
+            "--decode_ctc_weight", "0.3", "--runtime",
+            "--runtime_num_samples", "-1", "--runtime_num_repeats", "1",
+        ]
+    )
+    runtimes, rtfs, n_decoded = run_test_main(args)
+    assert n_decoded == 6, n_decoded

@@ -144,6 +144,11 @@ def main():
         env = dict(os.environ)
         if phase == "f32":
             env["JAX_PLATFORMS"] = "cpu"
+            # keep the CPU phase off the remote-TPU tunnel entirely:
+            # the axon PJRT plugin registers at interpreter start
+            # (sitecustomize) and holds a tunnel connection even for
+            # processes that then run on CPU
+            env.pop("PALLAS_AXON_POOL_IPS", None)
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--family", args.family, "--soak-dir", args.soak_dir,
