@@ -192,20 +192,23 @@ def guard(name, fn):
 RTT_FLOOR = [0.0]  # measured in main(): the one-fetch transport cost
 
 
-def timeit(fn, sync, n=5):
+def timeit(fn, sync, n=5, ret_out=False):
     """Median-free steady-state per-call time: n pipelined dispatches,
     ONE final fetch.  The fetch pays the remote-transport round trip
     (~30 ms on this tunnel — block_until_ready is a no-op on axon
     arrays, so np.asarray is the only true sync); subtracting the
     measured floor removes the RTT/n overstatement that inflated every
-    r1/r2 row (~+3 ms/step on a 10-iteration train window)."""
+    r1/r2 row (~+3 ms/step on a 10-iteration train window).
+    `ret_out=True` also returns the final call's output so callers can
+    inspect results without paying an extra run."""
     out = fn()
     sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn()
     sync(out)
-    return (time.perf_counter() - t0 - RTT_FLOOR[0]) / n
+    dt = (time.perf_counter() - t0 - RTT_FLOOR[0]) / n
+    return (dt, out) if ret_out else dt
 
 
 def main():
@@ -263,7 +266,7 @@ def main():
     _var_cache = {}
 
     def decode_rtf(cfg_kw, B, T, beam_width, beam_kw, lm=None, n=3,
-                   variables_tweak=None, want_n_decoded=False):
+                   want_n_decoded=False):
         cfg = config_from_dict(cfg_kw)
         model = ASR(cfg)
         xs = jax.jit(lambda k: jax.random.normal(k, (B, T, 80)))(key)
@@ -276,9 +279,6 @@ def main():
                 jnp.ones((B, 5), jnp.int32),
             )
         v = _var_cache[ck]
-        if variables_tweak is not None:
-            # shallow-copied tree: the cached variables stay pristine
-            v = variables_tweak(jax.tree_util.tree_map(lambda x: x, v))
         np.asarray(xs[0, 0, :1])
         dec = build_decode_fn(
             model, v, cfg, beam_width=beam_width, lm=lm, **beam_kw
@@ -294,13 +294,16 @@ def main():
             dec = dec.bind_compiled(compiled)
         except Exception:
             pass
-        dt = timeit(lambda: dec(xs, xlens), lambda o: np.asarray(o[0]), n=n)
+        dt, out = timeit(
+            lambda: dec(xs, xlens), lambda o: np.asarray(o[0]), n=n,
+            ret_out=True,
+        )
         mfu = (
             round(flops / dt / (peak_tflops * 1e12), 4) if flops else None
         )
         n_decoded = None
-        if want_n_decoded:
-            scores = np.asarray(dec(xs, xlens)[2])
+        if want_n_decoded:  # reuse the final timed run's outputs
+            scores = np.asarray(out[2])
             n_decoded = (
                 int((scores[:, 0] > -1e29).sum()) if scores.ndim == 2 else B
             )
@@ -308,14 +311,13 @@ def main():
 
     def decode_row(metric, cfg_kw, T, beam_width, beam_kw, batches,
                    ref_key, lm=None, n=3, extra=None,
-                   variables_tweak=None, want_n_decoded=False):
+                   want_n_decoded=False):
         """Sweep batch to saturation; report RTF + utts/sec/chip
         (BASELINE.json's north-star metric) at the best point."""
         sweep = []
         for B in batches:
             rtf, mfu, nd = decode_rtf(
                 cfg_kw, B, T, beam_width, beam_kw, lm=lm, n=n,
-                variables_tweak=variables_tweak,
                 want_n_decoded=want_n_decoded,
             )
             sweep.append(

@@ -184,7 +184,9 @@ class ExpConfig:
     # ratio * (collapsed CTC greedy length) + margin.  "auto" enables it
     # when joint CTC scoring is on (the estimate is free there); "on" /
     # "off" force.  Rows at budget force-finalize their surviving beams,
-    # so every utterance yields a hypothesis.
+    # so every utterance yields a hypothesis.  A binding cap TRUNCATES
+    # (best-effort, not exact) — the eval loop logs how many hypotheses
+    # were force-finalized; "off" restores reference semantics.
     decode_len_cap: str = "auto"
     decode_cap_ratio: float = 1.5
     decode_cap_margin: int = 12

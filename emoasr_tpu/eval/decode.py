@@ -350,9 +350,19 @@ def build_decode_fn(
                         elens,
                     )
                 else:
-                    # no CTC head: an utterance cannot emit more tokens
-                    # than encoder frames
-                    row_caps = elens.astype(jnp.int32)
+                    # no CTC head: bound by the (subsampled) frame
+                    # count with the same ratio + margin — attention
+                    # decoders have no monotonic alignment, so frames
+                    # alone are not a hard token bound
+                    row_caps = jnp.clip(
+                        jnp.ceil(
+                            cfg.decode_cap_ratio
+                            * elens.astype(jnp.float32)
+                        )
+                        + cfg.decode_cap_margin,
+                        1,
+                        cfg.max_decode_ylen,
+                    ).astype(jnp.int32)
 
             return attention_beam_search(
                 eouts, elens, None,

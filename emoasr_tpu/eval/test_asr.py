@@ -139,6 +139,7 @@ def _postproc_batch(
     mode keeps all surviving candidates for the rescoring pipeline."""
     rows = []
     n_utts = 0
+    n_forced = 0  # selected hyps with no trailing eos: force-finalized
     eos = cfg.eos_id
     texts = batch["ptexts"] if decode_phone else batch["texts"]
     multi = hyps.ndim == 3  # beam outputs (B, W, L)
@@ -173,11 +174,18 @@ def _postproc_batch(
         if multi:
             w = first_valid[b]
             h_raw = hyps[b, w, : hyp_lens[b, w]]
+            # a beam result without a trailing eos was force-finalized
+            # at its row's step budget (search/attention_beam.py
+            # row_caps) — a truncation-risk signal, surfaced in the
+            # log.  W==1 outputs can be packed greedy decodes (no eos
+            # framing at all), so only true beam shapes are counted.
+            if hyps.shape[1] > 1 and len(h_raw) and h_raw[-1] != eos:
+                n_forced += 1
         else:
             h_raw = hyps[b, : hyp_lens[b]]
         h = h_raw[h_raw != eos].tolist()
         rows.append([utt_id, ints2str(h), vocab.ids2text(h), reftext])
-    return rows, n_utts
+    return rows, n_utts, n_forced
 
 
 def decode_dataset(
@@ -293,6 +301,7 @@ def decode_dataset(
 
     pending: List[tuple] = []  # [(batch, device outputs)]
     n_done = [0]  # utterances post-processed (num_samples counts utts)
+    n_forced_total = [0]  # hyps force-finalized at their row step budget
 
     # packed protocol (eval/decode.py): the decode returns ONE
     # (B, W, L+2) int32 array, so a batch costs a single D2H fetch
@@ -308,13 +317,14 @@ def decode_dataset(
             hyps, hyp_lens, scores = map(np.asarray, out)
         _phase("fetch", t0)
         t0 = time.perf_counter()
-        new, n_utts = _postproc_batch(
+        new, n_utts, n_forced = _postproc_batch(
             cfg, batch, hyps, hyp_lens, scores, vocab, nbest,
             decode_phone, sample_utt_id,
             max_utts=(num_samples - n_done[0]) if num_samples > 0 else -1,
         )
         rows.extend(new)
         n_done[0] += n_utts
+        n_forced_total[0] += n_forced
         _phase("postproc", t0)
 
     try:
@@ -359,6 +369,13 @@ def decode_dataset(
             drain_one()
     finally:
         stop.set()
+    if n_forced_total[0]:
+        logging.info(
+            f"{n_forced_total[0]} hypotheses force-finalized at their "
+            "row step budget (no natural eos before the CTC-length cap "
+            "— best-effort, possibly truncated; decode_len_cap: off "
+            "restores reference semantics)"
+        )
     return rows
 
 

@@ -316,6 +316,15 @@ def attention_beam_search(
             lm_logp, new_lm_states = None, None
             scores_pre = scores_att
 
+        if row_caps is not None:
+            # a step-0 eos candidate is ALWAYS rejected ("only <eos>",
+            # below) — selecting it only wastes a beam slot, and at
+            # W==1 it kills the whole row (then nothing remains to
+            # force-finalize at the cap).  Masking it is WER-neutral.
+            scores_pre = scores_pre.at[:, :, eos_id].add(
+                jnp.where(state.step == 0, DEAD, 0.0)
+            )
+
         if use_ctc:
             # pre-select K2 candidates by att(+lm) (transformer.py:222-232)
             pre_sc, v_topb = topk_lastdim(scores_pre, K2)  # (B, W, K2)

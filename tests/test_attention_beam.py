@@ -491,3 +491,39 @@ def test_packed_outputs_roundtrip():
     assert h.shape == (2, 1, 6)
     np.testing.assert_array_equal(h[:, 0], g_hyps)
     np.testing.assert_array_equal(l[:, 0], g_lens)
+
+
+def test_row_caps_w1_eos_hungry_still_decodes():
+    """beam_width=1 + an eos-hungry model: a step-0 eos is always
+    rejected as 'only eos' and at W=1 that killed the whole row.  With
+    row_caps active the search masks the (always-rejected) step-0 eos
+    candidate so the single beam survives to produce a hypothesis."""
+    dec = _ref_decoder(19)
+    with torch.no_grad():
+        dec.output.bias[2] += 25.0  # eos wins every step
+    mine, variables, cfg = _mine_from_ref(dec)
+    rng = np.random.default_rng(19)
+    B, T = 2, 8
+    eouts = jnp.asarray(rng.normal(size=(B, T, 16)).astype(np.float32))
+    elens = jnp.asarray([8, 6])
+
+    def step_fn(h, l, eo, el):
+        emask = make_pad_mask(el, T)[:, None, None, :]
+        return mine.apply(
+            variables, h, l, eo, emask,
+            method=TransformerDecoder.forward_one_step,
+        )
+
+    hyps, lens, scores = map(
+        np.asarray,
+        attention_beam_search(
+            eouts, elens, step_fn, vocab_size=V, beam_width=1,
+            len_weight=0.1, max_decode_ylen=12,
+            row_caps=jnp.asarray([6, 6]),
+        ),
+    )
+    assert (scores[:, 0] > -1e29).all(), scores
+    # after the masked first step eos wins immediately: 1 real token
+    for b in range(B):
+        h = hyps[b, 0, 1 : lens[b, 0]]
+        assert len(h) >= 1 and h[0] != 2, h
