@@ -172,12 +172,30 @@ def main():
 
     decode_fn = build_decode_fn(
         model, variables, cfg, beam_width, len_weight, ctc_w, lm_fusion,
+        top1=True,  # the CLI's non-nbest protocol (test_asr.py)
     )
     dataset = ASRDataset(cfg, tsv, phase="test")
     vocab = Vocab(vocab_path)
 
+    # transport floor: the real pipeline must move every feature batch
+    # host->device (the synthetic decode rows keep inputs resident, and
+    # the reference's CPU loop has no transfer at all).  One timed
+    # device_put of a full bucket batch bounds the attainable wall.
+    probe = np.zeros((conf["batch_size"], hi, 80), np.float32)
+    if str(cfg.compute_dtype or "") .startswith("bf"):
+        import ml_dtypes
+
+        probe = probe.astype(ml_dtypes.bfloat16)
+    jax.block_until_ready(jax.device_put(probe))  # connection warm
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.device_put(probe))
+    h2d_s = time.perf_counter() - t0
+    mb = probe.nbytes / 1e6
     out = {"n_utts": n_utts, "audio_s": round(audio_s, 1),
-           "mode": "joint" if args.joint else "greedy", "runs": []}
+           "mode": "joint" if args.joint else "greedy",
+           "h2d_probe": {"mb": round(mb, 1), "s": round(h2d_s, 4),
+                         "mb_per_s": round(mb / max(h2d_s, 1e-9), 1)},
+           "runs": []}
     for j in range(args.repeats):
         timing = {}
         t0 = time.perf_counter()
