@@ -52,9 +52,16 @@ def ctc_len_caps(
 
 
 def _pack_outputs(hyps, hyp_lens, scores):
-    """Pack (hyps, hyp_lens, scores) into ONE (B, W, L+2) int32 array so
+    """Pack (hyps, hyp_lens, scores) into ONE (B, W, 2+L) int32 array so
     a decode batch costs a single device->host fetch (scores carried as
-    f32 bit patterns).  Greedy (B, L) outputs become W=1."""
+    f32 bit patterns).  Greedy (B, L) outputs become W=1.
+
+    Layout [lens, scores, hyps...]: the metadata columns lead so that
+    batches from different buckets (different L) can be zero-padded on
+    the LAST axis and concatenated into one buffer for a single fetch
+    per group of batches (decode_dataset's coalescing — on the remote
+    transport every fresh result buffer pays a fixed round-trip cost
+    that dwarfs the bytes)."""
     if hyps.ndim == 2:
         hyps, hyp_lens, scores = (
             hyps[:, None], hyp_lens[:, None], scores[:, None]
@@ -64,9 +71,9 @@ def _pack_outputs(hyps, hyp_lens, scores):
     )
     return jnp.concatenate(
         [
-            hyps.astype(jnp.int32),
             hyp_lens.astype(jnp.int32)[..., None],
             bits[..., None],
+            hyps.astype(jnp.int32),
         ],
         axis=-1,
     )
@@ -74,14 +81,47 @@ def _pack_outputs(hyps, hyp_lens, scores):
 
 def unpack_outputs(arr):
     """Host-side inverse of `_pack_outputs` on the fetched numpy array:
-    (B, W, L+2) int32 -> (hyps (B,W,L), hyp_lens (B,W), scores (B,W))."""
+    (B, W, 2+L) int32 -> (hyps (B,W,L), hyp_lens (B,W), scores (B,W)).
+    Tolerates trailing zero-padding of the hyp axis (coalesced groups
+    are padded to their widest bucket)."""
     import numpy as np
 
     return (
-        arr[..., :-2],
-        arr[..., -2],
-        arr[..., -1].view(np.float32),
+        arr[..., 2:],
+        arr[..., 0],
+        arr[..., 1].view(np.float32),
     )
+
+
+# per-shape-combination jitted pad+concat programs for coalesced fetches
+_COALESCE_CACHE: dict = {}
+
+
+def coalesce_packed(outs):
+    """Concatenate a list of packed device arrays (B_i, W, K_i) into one
+    (sum B_i, W, max K_i) device array (zero-padding the hyp tail) so a
+    whole group of decoded batches costs ONE device->host fetch."""
+    if len(outs) == 1:
+        return outs[0]
+    key = tuple(o.shape for o in outs)
+    fn = _COALESCE_CACHE.get(key)
+    if fn is None:
+        kmax = max(s[-1] for s in key)
+
+        def build(*xs):
+            return jnp.concatenate(
+                [
+                    jnp.pad(
+                        x, ((0, 0), (0, 0), (0, kmax - x.shape[-1]))
+                    )
+                    for x in xs
+                ],
+                axis=0,
+            )
+
+        fn = jax.jit(build)
+        _COALESCE_CACHE[key] = fn
+    return fn(*outs)
 
 
 def build_decode_fn(

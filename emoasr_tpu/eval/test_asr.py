@@ -304,27 +304,50 @@ def decode_dataset(
     n_forced_total = [0]  # hyps force-finalized at their row step budget
 
     # packed protocol (eval/decode.py): the decode returns ONE
-    # (B, W, L+2) int32 array, so a batch costs a single D2H fetch
-    # (three np.asarray fetches each paid a transport round trip)
+    # (B, W, 2+L) int32 array per batch, and groups of up to COALESCE
+    # batches are pad+concatenated ON DEVICE so the whole group costs a
+    # single D2H fetch — on the remote transport every FRESH result
+    # buffer pays a fixed round-trip cost (~0.3 s measured) that dwarfs
+    # both the bytes and the decode compute, so fetch count per run is
+    # the honest lever (three-arrays-per-batch -> one-per-batch ->
+    # one-per-group)
     use_packed = hasattr(decode_fn, "packed")
+    COALESCE = 8
 
-    def drain_one():
-        batch, out = pending.pop(0)
+    def drain_group():
+        """Fetch + post-process up to COALESCE pending batches with one
+        device->host transfer (packed path) or per-batch fetches."""
+        group, del_n = pending[:COALESCE], min(len(pending), COALESCE)
         t0 = time.perf_counter()
         if use_packed:
-            hyps, hyp_lens, scores = decode_fn.unpack(np.asarray(out[0]))
+            from emoasr_tpu.eval.decode import coalesce_packed
+
+            arr = np.asarray(coalesce_packed([out[0] for _, out in group]))
+            _phase("fetch", t0)
+            off = 0
+            unpacked = []
+            for batch, _ in group:
+                nb = len(batch["utt_ids"])
+                unpacked.append(decode_fn.unpack(arr[off:off + nb]))
+                off += nb
         else:
-            hyps, hyp_lens, scores = map(np.asarray, out)
-        _phase("fetch", t0)
+            unpacked = [
+                tuple(map(np.asarray, out)) for _, out in group
+            ]
+            _phase("fetch", t0)
+        del pending[:del_n]
         t0 = time.perf_counter()
-        new, n_utts, n_forced = _postproc_batch(
-            cfg, batch, hyps, hyp_lens, scores, vocab, nbest,
-            decode_phone, sample_utt_id,
-            max_utts=(num_samples - n_done[0]) if num_samples > 0 else -1,
-        )
-        rows.extend(new)
-        n_done[0] += n_utts
-        n_forced_total[0] += n_forced
+        for (batch, _), (hyps, hyp_lens, scores) in zip(group, unpacked):
+            new, n_utts, n_forced = _postproc_batch(
+                cfg, batch, hyps, hyp_lens, scores, vocab, nbest,
+                decode_phone, sample_utt_id,
+                max_utts=(
+                    (num_samples - n_done[0]) if num_samples > 0 else -1
+                ),
+            )
+            rows.extend(new)
+            n_done[0] += n_utts
+            n_forced_total[0] += n_forced
         _phase("postproc", t0)
 
     try:
@@ -355,8 +378,10 @@ def decode_dataset(
             _phase("dispatch", t0)
             pending.append((batch, out))
             n_queued += len(batch["utt_ids"])
-            if len(pending) >= 2:
-                drain_one()
+            # packed: hold up to a full group so its fetch coalesces;
+            # unpacked: drain early so fetches overlap later compute
+            if len(pending) >= (COALESCE if use_packed else 2):
+                drain_group()
             # stop dispatching once enough utterances are queued; only
             # meaningful without an utt filter (matches the pre-r5
             # per-utt early return)
@@ -366,7 +391,7 @@ def decode_dataset(
             ):
                 break
         while pending:
-            drain_one()
+            drain_group()
     finally:
         stop.set()
     if n_forced_total[0]:
