@@ -36,7 +36,29 @@ def save_model(path: str, params: Any, batch_stats: Any = None) -> None:
 
 
 def load_model(path: str) -> dict:
-    return _ckptr().restore(os.path.abspath(path))
+    """Restore a model checkpoint as host numpy arrays.
+
+    Restoring as numpy is deliberate: a checkpoint saved on one
+    platform (e.g. the remote TPU) records device shardings that a
+    process on another platform (e.g. a CPU-pinned f32 parity decode)
+    cannot materialize — orbax then raises "sharding ... Got None".
+    Callers device_put as needed (eval/test_asr.py maps jnp.asarray)."""
+    path = os.path.abspath(path)
+    ckptr = _ckptr()
+    meta = ckptr.metadata(path)
+    # orbax returns either the metadata tree directly or a StepMetadata
+    # wrapper depending on checkpoint layout/version
+    tree = getattr(meta, "tree", None)
+    if tree is None:
+        tree = getattr(meta, "item_metadata", None)
+    if tree is None:
+        tree = meta
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
+    )
+    return ckptr.restore(
+        path, args=ocp.args.PyTreeRestore(restore_args=restore_args)
+    )
 
 
 def save_optim(path: str, opt_state: Any, step, epoch_scale, skipped) -> None:
