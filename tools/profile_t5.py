@@ -133,7 +133,9 @@ def main():
     def add_donated_variant():
         cfg = config_from_dict(T5)
         model = ASR(cfg)
-        init = shared["init"]
+        # PRIVATE copy: donation deletes the input buffers on first
+        # execution, and the init tree is shared by every other variant
+        init = jax.tree_util.tree_map(jnp.array, shared["init"])
         tx = build_optimizer(cfg)
         state0 = init_train_state(
             init["params"], init.get("batch_stats", {}), tx

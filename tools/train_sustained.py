@@ -80,6 +80,12 @@ def main():
     ap.add_argument("--beam", type=int, default=None,
                     help="decode beam width (default: 0 for l1, 10 "
                          "for t5/l33)")
+    ap.add_argument("--lr", type=float, default=5.0,
+                    help="noam learning-rate factor")
+    ap.add_argument("--warmup", type=int, default=200,
+                    help="noam warmup steps")
+    ap.add_argument("--dtype", default="bfloat16",
+                    help="compute dtype (bfloat16 | float32)")
     args = ap.parse_args()
 
     import jax
@@ -97,15 +103,15 @@ def main():
         vocab_path=vocab, train_path=train_tsv, test_path=test_tsv,
         buckets=[[384, 24]], batch_size=32, max_xlens_batch=30000,
         max_ylens_batch=3000,
-        num_epochs=max(1, args.steps // 40 + 3), learning_rate=5.0,
-        lr_schedule_type="noam", num_warmup_steps=200,
+        num_epochs=max(1, args.steps // 40 + 3), learning_rate=args.lr,
+        lr_schedule_type="noam", num_warmup_steps=args.warmup,
         dropout_enc_rate=0.1, dropout_attn_rate=0.1, spec_augment=True,
         # mild masks: tokens span ~3-4 post-subsample frames on this
         # synthetic task, so reference-strength time masks erase whole
         # tokens and cap the attainable WER
         max_mask_freq=10, max_mask_time=8, num_masks_time=1,
         clip_grad_norm=5.0,
-        compute_dtype="bfloat16", log_step=25, save_step=1000000,
+        compute_dtype=args.dtype, log_step=25, save_step=1000000,
         seed=0,
     )
     if args.family == "t5":
